@@ -1,0 +1,259 @@
+"""Overlay compositor + output video writer.
+
+Rebuild of the reference Annotator (reference: annotator.py:42-363): black
+side/bottom padding for stats panels, labeled boxes (cv2 fast path, PIL
+for non-ASCII), fading onscreen pie charts, offscreen history strips +
+damage graph side panels, bottom outcome bars, post-game summary cards,
+and frame writing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import cv2
+from PIL import Image, ImageDraw, ImageFont
+
+from playaid_core_tpu.constants import EMOJI_FONT_PATH, TEXT_FONT_PATH
+from playaid_core_tpu.render.charts import (
+    defensive_option_chart,
+    disadvantage_ledge_history,
+    disadvantage_ledge_option_chart,
+    disadvantage_tech_history,
+    disadvantage_tech_option_chart,
+    move_damage_graph,
+    move_pie_chart,
+    move_pie_chart_history,
+    move_success_punished_missed_bar_graph,
+)
+from playaid_core_tpu.render.compositing import is_ascii, paste_on_top
+from playaid_core_tpu.video.writer import VideoWriter
+
+
+def split_text(text, chunk_size=90):
+    words = text.split()
+    chunks = []
+    chunk = ""
+    for word in words:
+        if len(chunk) + len(word) <= chunk_size:
+            chunk += " " + word if chunk else word
+        else:
+            chunks.append(chunk)
+            chunk = word
+    if chunk:
+        chunks.append(chunk)
+    return chunks
+
+
+class Annotator:
+    def __init__(
+        self,
+        output_video_path: str,
+        fps: int,
+        input_width: int,
+        input_height: int,
+        show_stats=True,
+    ):
+        self.output_video_path = output_video_path
+        self.fps = fps
+        self.input_width = input_width
+        self.input_height = input_height
+        self.show_stats = show_stats
+
+        # 400px black padding on left/right/bottom when stats are shown
+        # (reference: annotator.py:57-70).
+        self.right_padding = 400 if show_stats else 0
+        self.left_padding = 400 if show_stats else 0
+        self.bottom_padding = 400 if show_stats else 0
+        self.output_width = self.input_width + self.left_padding + self.right_padding
+        self.output_height = self.input_height + self.bottom_padding
+
+        self.video_writer = VideoWriter(
+            output_video_path, fps, self.output_width, self.output_height
+        )
+        self.im = None
+        self.pil = False
+        self.lw = 2
+
+    def set_frame(self, im, line_width=None, font_size=None, font=TEXT_FONT_PATH,
+                  pil=False, example="abc✅"):
+        assert im.data.contiguous, (
+            "Image not contiguous. Apply np.ascontiguousarray(im) to Annotator() input images."
+        )
+        non_ascii = not is_ascii(example)
+        self.pil = pil or non_ascii
+        if self.pil:
+            self.im = im if isinstance(im, Image.Image) else Image.fromarray(im)
+            self.draw = ImageDraw.Draw(self.im)
+            self.text_font = ImageFont.load_default()
+            try:
+                self.emoji_font = ImageFont.truetype(EMOJI_FONT_PATH, 32)
+            except OSError:
+                self.emoji_font = self.text_font
+        else:
+            self.im = im
+        self.lw = line_width or max(round(sum(im.shape) / 2 * 0.003), 2)
+
+    def box_label(self, box, label="", color=(128, 128, 128), txt_color=(255, 255, 255),
+                  draw_box=True):
+        """Draw one labeled box (reference: annotator.py:103-187)."""
+        if self.pil or not is_ascii(label):
+            if draw_box:
+                self.draw.rectangle(box, width=self.lw, outline=color)
+            if label:
+                bbox = self.draw.textbbox((0, 0), label, font=self.text_font)
+                w, h = bbox[2] - bbox[0], bbox[3] - bbox[1]
+                outside = box[1] - h >= 0
+                if color:
+                    self.draw.rectangle(
+                        (
+                            box[0],
+                            box[1] - h if outside else box[1],
+                            box[0] + w + 1,
+                            box[1] + 1 if outside else box[1] + h + 1,
+                        ),
+                        fill=color,
+                    )
+                self.draw.text(
+                    (box[0], box[1] - h if outside else box[1]),
+                    label,
+                    font=self.text_font,
+                    fill="white",
+                )
+        else:
+            p1, p2 = (int(box[0]), int(box[1])), (int(box[2]), int(box[3]))
+            if draw_box:
+                cv2.rectangle(self.im, p1, p2, color, thickness=self.lw, lineType=cv2.LINE_AA)
+            if label:
+                tf = max(self.lw - 2, 1)
+                w, h = cv2.getTextSize(label, 0, fontScale=self.lw / 5, thickness=tf)[0]
+                outside = p1[1] - h >= 3
+                p2 = p1[0] + w, p1[1] - h - 3 if outside else p1[1] + h + 3
+                cv2.rectangle(self.im, p1, p2, color, -1, cv2.LINE_AA)
+                cv2.putText(
+                    self.im,
+                    label,
+                    (p1[0], p1[1] - 2 if outside else p1[1] + h + 2),
+                    0,
+                    self.lw / 5,
+                    txt_color,
+                    thickness=tf,
+                    lineType=cv2.LINE_AA,
+                )
+
+    def update_onscreen_charts(self, fighters, stats, show_tracked_chart=True,
+                               show_history_charts=False):
+        """Fading per-fighter move pies near each fighter's bbox
+        (reference: annotator.py:189-215)."""
+        self.im = np.array(self.im)
+        size = 60
+        for fighter in fighters:
+            if not show_tracked_chart:
+                continue
+            (ulx, uly, _, _) = fighter.crop.xyxy_pixels(self.input_width, self.input_height)
+            chart, pie_chart_image = move_pie_chart(fighter, stats, size)
+            if pie_chart_image is None:
+                continue
+            paste_on_top(pie_chart_image, self.im, ulx - 70, uly - 45)
+
+        for fighter in fighters:
+            if not show_history_charts:
+                continue
+            move_pie_chart_history(fighter, stats, size)
+
+    def _blit(self, image, x, y):
+        """Write an RGB(A) panel into the canvas, clipping at the borders
+        (the reference assumed 720p inputs and indexed unguarded,
+        annotator.py:237-275)."""
+        h = min(image.shape[0], self.im.shape[0] - y)
+        w = min(image.shape[1], self.im.shape[1] - x)
+        if h <= 0 or w <= 0:
+            return
+        c = image.shape[2]
+        self.im[y : y + h, x : x + w, :c] = image[:h, :w]
+
+    def update_offscreen_charts(self, fighters, stats):
+        """Side panels (ledge/tech strips + damage graph) and bottom outcome
+        bars (reference: annotator.py:217-276)."""
+        self.maybe_pad_image()
+
+        index_to_side_x = {0: 0, 1: self.left_padding + self.input_width}
+        index_to_bottom_x = {0: 0, 1: self.output_width // 2}
+        for fighter in fighters:
+            x = index_to_side_x[fighter.fighter_id]
+            y = 0
+            timeline_height = 120
+            self._blit(disadvantage_ledge_history(fighter=fighter, stats=stats), x, y)
+            y += timeline_height
+            self._blit(disadvantage_tech_history(fighter=fighter, stats=stats), x, y)
+            y += timeline_height
+
+            im_height, im_width = 480, 400
+            chart, image = move_damage_graph(fighter, stats, width=im_width, height=im_height)
+            self._blit(image, x, y)
+
+            x = index_to_bottom_x[fighter.fighter_id]
+            y = self.input_height
+            im_width = self.output_width // 2
+            chart, image = move_success_punished_missed_bar_graph(
+                fighter, stats, height=400, width=im_width
+            )
+            self._blit(image, x, y)
+
+    def basic_counter(self, x, fighter, stats):
+        """Plain-text per-move counters on one side (reference:
+        annotator.py:278-298)."""
+        self.box_label(
+            (x, 0, x + 20, 40), fighter.fighter_name, draw_box=False, color=None,
+            txt_color=(255, 255, 255),
+        )
+        y = 70
+        for key, value in stats.stats[fighter.fighter_id].action_count.items():
+            self.box_label(
+                (x, y, x + 20, y + 40), f"{key}: {value}", draw_box=False, color=None,
+                txt_color=(255, 255, 255),
+            )
+            y += 30
+
+    def maybe_pad_image(self):
+        """Grow the frame to the padded output canvas (reference:
+        annotator.py:300-313)."""
+        self.im = np.array(self.im)
+        if self.im.shape[0] != self.output_height or self.im.shape[1] != self.output_width:
+            self.im = np.pad(
+                self.im,
+                ((0, self.bottom_padding), (self.left_padding, self.right_padding), (0, 0)),
+            )
+        self.pil = False
+
+    def post_game_summaries(self, fighters, stats):
+        """Five full-canvas summary charts, each held 3 seconds
+        (reference: annotator.py:315-347)."""
+        self.maybe_pad_image()
+        index_to_x = {0: 0, 1: self.output_width // 2}
+        graphs = [
+            move_success_punished_missed_bar_graph,
+            move_damage_graph,
+            defensive_option_chart,
+            disadvantage_tech_option_chart,
+            disadvantage_ledge_option_chart,
+        ]
+        for graph in graphs:
+            for fighter in fighters:
+                x = index_to_x[fighter.fighter_id]
+                width = self.output_width // 2
+                height = self.output_height
+                chart, image = graph(fighter, stats, width=width, height=height)
+                self._blit(image, x, 0)
+            self.write_num_seconds(3)
+
+    def write_num_seconds(self, num_seconds):
+        for _ in range(num_seconds * 60):
+            self.write()
+
+    def result(self):
+        return np.asarray(self.im)
+
+    def write(self):
+        result = self.result()
+        result = cv2.cvtColor(result, cv2.COLOR_RGBA2BGR)
+        self.video_writer.write(result)
