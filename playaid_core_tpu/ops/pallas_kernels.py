@@ -1,0 +1,153 @@
+"""Pallas TPU kernels for the preprocessing front-end.
+
+``pallas_square_crop_resize`` is the on-chip version of
+:func:`playaid_core_tpu.ops.preprocess.batched_square_crop_resize`: for
+each (crop, channel) grid cell it DMAs a fixed-size source window from the
+frame plane in HBM into VMEM, builds the two separable bilinear weight
+matrices from iota (no gathers), and resamples with two MXU matmuls:
+
+    out[SxS] = Wy[SxK] @ window[KxK] @ Wx^T[KxS]
+
+Out-of-image source coordinates get zero weight, which produces the black
+letterbox of the reference's ImageOps.pad path (reference:
+fighter.py:346-373) for free.
+
+The window size K is static (must cover the largest crop); window DMA
+starts are clamped to the frame so the transfer is always in-bounds, and
+the weight matrices are expressed in absolute frame coordinates so
+clamping never shifts content.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from playaid_core_tpu.ops.preprocess import square_window_params
+
+
+def _axis_weight_matrix(origin_abs, window_start, side, frame_len, out_size, max_win):
+    """[out_size, max_win] bilinear weights in window coordinates.
+
+    origin_abs: float start of the (possibly out-of-bounds) source window.
+    window_start: int row/col where the DMA'd window begins in the frame.
+    """
+    i = jax.lax.broadcasted_iota(jnp.float32, (out_size, max_win), 0)
+    k = jax.lax.broadcasted_iota(jnp.float32, (out_size, max_win), 1)
+    src_abs = origin_abs + (i + 0.5) * side / out_size - 0.5
+    lo = jnp.floor(src_abs)
+    frac = src_abs - lo
+    k_abs = k + window_start
+    w = jnp.where(k_abs == lo, 1.0 - frac, 0.0) + jnp.where(k_abs == lo + 1.0, frac, 0.0)
+    outside = (src_abs < -1.0) | (src_abs > frame_len)
+    return jnp.where(outside, 0.0, w)
+
+
+def _crop_kernel(params_ref, starts_ref, planes_ref, out_ref, win_ref, sem,
+                 *, out_size, max_win, frame_h, frame_w, normalize):
+    n = pl.program_id(0)
+    c = pl.program_id(1)
+
+    y0 = params_ref[n, 0]
+    x0 = params_ref[n, 1]
+    side = params_ref[n, 2]
+    ys = starts_ref[n, 0]
+    xs = starts_ref[n, 1]
+
+    dma = pltpu.make_async_copy(
+        planes_ref.at[n, c, pl.ds(ys, max_win), pl.ds(xs, max_win)],
+        win_ref,
+        sem,
+    )
+    dma.start()
+
+    wy = _axis_weight_matrix(y0, ys, side, frame_h, out_size, max_win)
+    wx = _axis_weight_matrix(x0, xs, side, frame_w, out_size, max_win)
+
+    dma.wait()
+    window = win_ref[:].astype(jnp.float32)
+
+    tmp = jnp.dot(wy, window, preferred_element_type=jnp.float32)  # [S, K]
+    out = jax.lax.dot_general(
+        tmp, wx, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [S, S]
+    if normalize:
+        out = out * (1.0 / 255.0)
+    out_ref[0, 0] = out
+
+
+@partial(
+    jax.jit,
+    static_argnames=("out_size", "padding", "max_win", "bgr_to_rgb", "normalize",
+                     "interpret"),
+)
+def pallas_square_crop_resize(
+    frames,
+    boxes,
+    out_size: int = 128,
+    padding: int = 0,
+    max_win: int = 512,
+    bgr_to_rgb: bool = False,
+    normalize: bool = True,
+    interpret: bool = False,
+):
+    """Pallas-fused batched crop/letterbox/resize/normalize.
+
+    frames: [N, H, W, 3] uint8; boxes: [N, 4] normalized yolo boxes.
+    Crops larger than ``max_win - 2`` pixels on a side are undefined (pick
+    max_win to cover the detector's largest output; 512 covers 720p
+    fighter crops, use 768 for 1080p).
+    Returns [N, out_size, out_size, 3] float32.
+    """
+    n, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+    y0, x0, side = square_window_params(boxes, h, w, padding)
+    side = jnp.maximum(side, 1.0)
+    params = jnp.stack([y0, x0, side], axis=1)  # [N, 3] f32
+
+    ys = jnp.clip(jnp.floor(y0), 0, max(h - max_win, 0)).astype(jnp.int32)
+    xs = jnp.clip(jnp.floor(x0), 0, max(w - max_win, 0)).astype(jnp.int32)
+    starts = jnp.stack([ys, xs], axis=1)  # [N, 2] i32
+
+    planes = jnp.transpose(frames, (0, 3, 1, 2))  # [N, 3, H, W]
+    if bgr_to_rgb:
+        planes = planes[:, ::-1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n, 3),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, 1, out_size, out_size), lambda i, j, *_: (i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((max_win, max_win), frames.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    out = pl.pallas_call(
+        partial(
+            _crop_kernel,
+            out_size=out_size,
+            max_win=max_win,
+            frame_h=h,
+            frame_w=w,
+            normalize=normalize,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, 3, out_size, out_size), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * 3 * (out_size * max_win * max_win + out_size * out_size * max_win),
+            bytes_accessed=n * 3 * (max_win * max_win + out_size * out_size * 4),
+            transcendentals=0,
+        ),
+    )(params, starts, planes)
+
+    return jnp.transpose(out, (0, 2, 3, 1))  # NHWC

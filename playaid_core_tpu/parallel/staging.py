@@ -1,0 +1,82 @@
+"""Double-buffered host->device staging.
+
+Replaces the reference's synchronous per-batch host work
+(``DataLoader(num_workers=1)``, reference: models/cnn_action_detector.py:183)
+with an iterator that keeps N batches in flight on device: while the TPU
+computes on batch k, batch k+1 is already being transferred.
+"""
+
+from __future__ import annotations
+
+import collections
+import queue
+import threading
+from typing import Iterable, Iterator, Optional
+
+import jax
+
+
+def device_prefetch(
+    iterable: Iterable,
+    size: int = 2,
+    sharding=None,
+) -> Iterator:
+    """Yield items of ``iterable`` after placing them on device, keeping
+    ``size`` transfers ahead of the consumer.
+
+    Each item is a pytree of host arrays; placement uses ``jax.device_put``
+    (with ``sharding`` when given, e.g. a batch NamedSharding over the
+    'data' axis of a mesh).
+    """
+    it = iter(iterable)
+    buf = collections.deque()
+
+    def put(item):
+        if sharding is not None:
+            return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), item)
+        return jax.tree_util.tree_map(jax.device_put, item)
+
+    try:
+        for _ in range(size):
+            buf.append(put(next(it)))
+    except StopIteration:
+        pass
+
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield out
+
+
+class BackgroundIterator:
+    """Run a (host-heavy) iterator in a background thread with a bounded
+    queue, overlapping host batch assembly with device compute."""
+
+    _SENTINEL = object()
+
+    def __init__(self, iterable: Iterable, maxsize: int = 4):
+        self._queue: queue.Queue = queue.Queue(maxsize=maxsize)
+        self._error: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._run, args=(iterable,), daemon=True)
+        self._thread.start()
+
+    def _run(self, iterable):
+        try:
+            for item in iterable:
+                self._queue.put(item)
+        except BaseException as e:  # propagate into the consumer
+            self._error = e
+        finally:
+            self._queue.put(self._SENTINEL)
+
+    def __iter__(self):
+        while True:
+            item = self._queue.get()
+            if item is self._SENTINEL:
+                if self._error is not None:
+                    raise self._error
+                return
+            yield item

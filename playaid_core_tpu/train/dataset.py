@@ -1,0 +1,389 @@
+"""Action-recognition dataset.
+
+Rebuild of the reference UltActionRecogDataset (reference:
+ult_action_dataset.py:139-689) in NHWC/jax-friendly form:
+
+* ``split="train"/"validation"/"test"`` — ground-truth crop sequences from
+  a ``gt_action_detection`` tree indexed by
+  :func:`playaid_core_tpu.timeline.cache_dataset`; random fighter -> move
+  -> (video, frame), middle-out window with random frame delta, optional
+  difficulty-staged augmentation, labels per frame with "Unknown"
+  fallback;
+* ``split="synth"`` — synthetic composites: random animation clips
+  concatenated into a mini-timeline over randomly-cropped stage
+  backgrounds (reference: ult_action_dataset.py:569-689);
+* curriculum hooks ``make_synth_more_challenging`` /
+  ``switch_num_frames_per_sample`` (reference: :561-567);
+* ``batches()`` iterator assembling [B, T, H, W, 3] float32 arrays for the
+  device-prefetch staging pipeline (replacing torch DataLoader).
+
+Samples return (frames[T, H, W, 3] f32/255, char_id, action_ids[T], meta).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import cv2
+import numpy as np
+from PIL import Image
+
+from playaid_core_tpu import constants
+from playaid_core_tpu.geometry import aspect_resize
+from playaid_core_tpu.ops.preprocess import middle_out_frame_indices
+from playaid_core_tpu.timeline import cache_dataset
+from playaid_core_tpu.train.augment import (
+    SYNTH_DIFFICULTY_REAL,
+    SYNTH_DIFFICULTY_SPRITE,
+    augment_char_crop,
+    augment_synth_char_crop,
+)
+
+
+def middle_out_sample(middle_frame, num_frames_per_sample, frame_delta, max_frames,
+                      min_frame=0):
+    """Host-side scalar middle-out sampler (same math as the vectorized
+    :func:`playaid_core_tpu.ops.preprocess.middle_out_frame_indices`)."""
+    return [int(v) for v in np.asarray(
+        middle_out_frame_indices(middle_frame, num_frames_per_sample, frame_delta,
+                                 max_frames, min_frame)
+    )]
+
+
+def random_crop_pil_image(img, x, y, rng):
+    width, height = img.size
+    x1 = int(rng.integers(0, max(width - x, 1)))
+    y1 = int(rng.integers(0, max(height - y, 1)))
+    return img.crop((x1, y1, x1 + x, y1 + y)), (x1, y1)
+
+
+def slightly_move_crop_pil_image(img, x, y, upper_left, move_range, rng):
+    width, height = img.size
+    x_off = int(rng.integers(-move_range, move_range))
+    y_off = int(rng.integers(-move_range, move_range))
+    x1 = max(0, min(upper_left[0] + x_off, width - x))
+    y1 = max(0, min(upper_left[1] + y_off, height - y))
+    return img.crop((x1, y1, x1 + x, y1 + y)), (x1, y1)
+
+
+def get_stage_paths(stages_dir=None):
+    """(reference: dataset_utils.py:402-407)"""
+    import glob
+
+    stages_dir = stages_dir or constants.ULT_STAGES_DIR
+    return glob.glob(os.path.join(stages_dir, "**/*.jpg"), recursive=True)
+
+
+def get_character_actions_animations_dict(clean_char_dir=None):
+    """char -> move -> body -> raw_anim -> cam -> sorted frame paths
+    (reference: dataset_utils.py:429-506)."""
+    from glob import glob
+    from pathlib import Path
+
+    clean_char_dir = clean_char_dir or constants.ULT_DATASET_CLEAN_CHAR_DIR
+    character_animations = {}
+    if not os.path.isdir(clean_char_dir):
+        return character_animations
+
+    for fighter in os.listdir(clean_char_dir):
+        fighter_dir = os.path.join(clean_char_dir, fighter)
+        if not os.path.isdir(fighter_dir):
+            continue
+        character_animations.setdefault(fighter, {})
+        for move in os.listdir(fighter_dir):
+            move_dir = os.path.join(fighter_dir, move)
+            if not os.path.isdir(move_dir):
+                continue
+            character_animations[fighter].setdefault(move, {})
+            for animation_file in glob(os.path.join(move_dir, "*.png")):
+                file_name = Path(animation_file).stem
+                # '{char}_{body}_{anim_name}_frame_{cam}_{frame_num}'
+                attrs = file_name.split("_")
+                body_type = attrs[1]
+                cam = attrs[-2]
+                anim_name = "_".join(attrs[2:-2])
+                node = (
+                    character_animations[fighter][move]
+                    .setdefault(body_type, {})
+                    .setdefault(anim_name, {})
+                    .setdefault(cam, [])
+                )
+                node.append(animation_file)
+            for body_type in character_animations[fighter][move].values():
+                for anim_name in body_type.values():
+                    for cam in anim_name:
+                        anim_name[cam] = sorted(
+                            anim_name[cam],
+                            key=lambda p: int(Path(p).stem.split("_")[-1]),
+                        )
+    return character_animations
+
+
+def load_and_composite_sprite(frame_path, stage_crop, synth_difficulty, rng):
+    """Paste an (augmented) RGBA sprite mostly-centered onto a stage crop
+    (reference: ult_action_dataset.py:97-136)."""
+    stage_crop = stage_crop.copy()
+    width, height = stage_crop.size
+    char_frame = cv2.imread(frame_path, cv2.IMREAD_UNCHANGED)
+    if char_frame.shape[2] == 3:
+        char_frame = cv2.cvtColor(char_frame, cv2.COLOR_BGR2BGRA)
+    if synth_difficulty:
+        char_frame = augment_synth_char_crop(
+            char_frame, rng=rng, **SYNTH_DIFFICULTY_SPRITE[synth_difficulty]
+        )
+    if char_frame.shape[0] > char_frame.shape[1]:
+        char_frame = aspect_resize(char_frame, height=height)
+    else:
+        char_frame = aspect_resize(char_frame, width=width)
+    char_frame = cv2.cvtColor(char_frame, cv2.COLOR_BGRA2RGBA)
+    char_img = Image.fromarray(char_frame)
+    paste_x = (stage_crop.width - char_img.width) // 2
+    paste_y = (stage_crop.height - char_img.height) // 2
+    if synth_difficulty:
+        paste_x += int(rng.integers(-40, 41))
+        paste_y += int(rng.integers(-40, 41))
+    stage_crop.paste(char_img, (paste_x, paste_y), char_img)
+    return stage_crop
+
+
+class UltActionRecogDataset:
+    def __init__(
+        self,
+        split,
+        num_samples,
+        img_dimension,
+        anim_subset,
+        num_frames_per_sample=constants.ACTION_RECOG_NUM_FRAMES_PER_SAMPLE,
+        frame_delta=constants.ACTION_RECOG_FRAME_DELTA,
+        char_subset=(),
+        randomize_stage_background=False,
+        move_stage_background=False,
+        synth_difficulty=0,
+        num_preceding_actions=8,
+        crop_size=128,
+        seed=None,
+        gt_root_train=None,
+        gt_root_val=None,
+        gt_root_test=None,
+        stages_dir=None,
+        clean_char_dir=None,
+    ):
+        self.split = split
+        self.num_samples = num_samples
+        self.crop_size = crop_size
+        self.img_dimension = img_dimension
+        self.animations = list(anim_subset)
+        self.characters = list(char_subset) if char_subset else list(constants.CHAR_LIST)
+        self.randomize_stage_background = randomize_stage_background
+        self.move_stage_background = move_stage_background
+        self.synth_difficulty = synth_difficulty
+        self.num_preceding_actions = num_preceding_actions
+        self.rng = np.random.default_rng(seed)
+
+        self.num_frames_per_sample_options = (
+            [num_frames_per_sample]
+            if isinstance(num_frames_per_sample, int)
+            else list(num_frames_per_sample)
+        )
+        self.num_frames_per_sample = (
+            num_frames_per_sample
+            if isinstance(num_frames_per_sample, int)
+            else int(self.rng.choice(self.num_frames_per_sample_options))
+        )
+        self.frame_deltas = frame_delta if isinstance(frame_delta, list) else [frame_delta]
+
+        self.stage_paths = get_stage_paths(stages_dir)
+        self.char_anim_dict = get_character_actions_animations_dict(clean_char_dir)
+
+        self.training_video_to_sample, self.training_move_to_frame = cache_dataset(
+            gt_root_train or constants.ACTION_GROUND_TRUTH_TRAIN, self.characters
+        )
+        self.val_video_to_sample, self.val_move_to_frame = cache_dataset(
+            gt_root_val or constants.ACTION_GROUND_TRUTH_VAL, self.characters
+        )
+        self.test_video_to_sample, self.test_move_to_frame = cache_dataset(
+            gt_root_test or constants.ACTION_GROUND_TRUTH_TEST, self.characters
+        )
+
+    def __len__(self):
+        return self.num_samples
+
+    def __getitem__(self, idx):
+        if self.split == "synth":
+            return self.get_synth(idx)
+        if self.split == "train":
+            return self.ground_truth(self.training_video_to_sample, self.training_move_to_frame)
+        elif self.split == "validation":
+            return self.ground_truth(self.val_video_to_sample, self.val_move_to_frame)
+        else:
+            return self.ground_truth(self.test_video_to_sample, self.test_move_to_frame)
+
+    # ------------------------------------------------------------------
+    def _label_id(self, action: str) -> int:
+        if action in self.animations:
+            return self.animations.index(action)
+        return self.animations.index("Unknown")
+
+    def ground_truth(self, video_to_sample, move_to_frame):
+        """(reference: ult_action_dataset.py:249-371)"""
+        if not move_to_frame:
+            raise RuntimeError(
+                "ground-truth dataset index is empty; generate gt_action_detection data first"
+            )
+        rng = self.rng
+        fighter_name = rng.choice(sorted(move_to_frame.keys()))
+        action_name = rng.choice(sorted(move_to_frame[fighter_name].keys()))
+        pairs = move_to_frame[fighter_name][action_name]
+        video_name, selected_frame = pairs[int(rng.integers(0, len(pairs)))]
+
+        frame_delta = int(rng.choice(self.frame_deltas))
+        samples = video_to_sample[video_name][fighter_name]
+        max_frames = len(samples)
+
+        frame_nums = middle_out_sample(
+            selected_frame, self.num_frames_per_sample, frame_delta,
+            max_frames=max_frames, min_frame=0,
+        )
+
+        # Preceding-action context window for models that consume it.
+        preceding = []
+        for i in range(selected_frame - self.num_preceding_actions, selected_frame):
+            frame_num = max(i, 0)
+            _, label_path = samples[frame_num]
+            with open(label_path) as f:
+                preceding.append(f.read())
+        preceding_ids = [self._label_id(a) for a in preceding]
+
+        frames, actions, frame_paths = [], [], []
+        for frame_num in frame_nums:
+            frame_path, label_path = samples[frame_num]
+            frame = cv2.imread(frame_path, cv2.IMREAD_UNCHANGED)
+            frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            frame = aspect_resize(frame, width=self.crop_size)
+            if self.synth_difficulty:
+                frame = augment_char_crop(
+                    frame, rng=rng, output_size=self.crop_size,
+                    **SYNTH_DIFFICULTY_REAL[self.synth_difficulty],
+                )
+            if frame.shape[:2] != (self.crop_size, self.crop_size):
+                frame = cv2.resize(frame, (self.crop_size, self.crop_size))
+            with open(label_path) as f:
+                action = f.read()
+            frames.append(frame)
+            actions.append(action)
+            frame_paths.append(frame_path)
+
+        input_frames = np.asarray(frames, dtype=np.float32) / 255.0
+        anim_label = np.asarray([self._label_id(a) for a in actions], dtype=np.int32)
+        char_id = np.int32(self.characters.index(fighter_name))
+        meta = {
+            "char": fighter_name,
+            "frame_paths": [os.path.basename(p) for p in frame_paths],
+            "actions": actions,
+            "frame_delta": frame_delta,
+            "preceding_actions": preceding,
+            "preceding_actions_ids": np.asarray(preceding_ids, dtype=np.int32),
+        }
+        return input_frames, char_id, anim_label, meta
+
+    def get_synth(self, idx):
+        """Synthetic mini-timeline composites (reference:
+        ult_action_dataset.py:569-689)."""
+        rng = self.rng
+        available = [c for c in self.characters if c in self.char_anim_dict]
+        if not available or not self.stage_paths:
+            raise RuntimeError("synthetic assets (clean char dir / stages) not available")
+        char = rng.choice(available)
+        char_label = self.characters.index(char)
+
+        body_types = set()
+        for move in self.char_anim_dict[char].values():
+            body_types.update(move.keys())
+        body_type = rng.choice(sorted(body_types))
+
+        mini_frames, mini_actions = [], []
+        i = 0
+        while i < 2 or len(mini_frames) < self.num_frames_per_sample:
+            action = None
+            while not action:
+                selected_action = rng.choice(self.animations)
+                if selected_action == "Unknown":
+                    extra = sorted(set(self.char_anim_dict[char].keys()) - set(self.animations))
+                    if extra:
+                        action = rng.choice(extra)
+                elif selected_action in self.char_anim_dict[char]:
+                    action = selected_action
+            node = self.char_anim_dict[char][action]
+            if body_type not in node:
+                body_type = rng.choice(sorted(node.keys()))
+            raw_anim = rng.choice(sorted(node[body_type].keys()))
+            cam = rng.choice(sorted(node[body_type][raw_anim].keys()))
+            animation_frames = node[body_type][raw_anim][cam]
+            mini_frames.extend(animation_frames)
+            mini_actions.extend([action if action in self.animations else "Unknown"]
+                                * len(animation_frames))
+            i += 1
+
+        num_frames = len(mini_frames)
+        last_frame = int(rng.integers(self.num_frames_per_sample, num_frames))
+        clip_paths = mini_frames[last_frame - self.num_frames_per_sample : last_frame]
+        clip_actions = mini_actions[last_frame - self.num_frames_per_sample : last_frame]
+
+        stage_path = rng.choice(self.stage_paths)
+        stage = Image.open(stage_path).convert("RGB")
+        stage_cropped, ul = random_crop_pil_image(
+            stage, self.img_dimension, self.img_dimension, rng
+        )
+
+        frames = []
+        for frame_path in clip_paths:
+            if self.randomize_stage_background:
+                stage_path = rng.choice(self.stage_paths)
+                stage = Image.open(stage_path).convert("RGB")
+                stage_cropped, ul = random_crop_pil_image(
+                    stage, self.img_dimension, self.img_dimension, rng
+                )
+            elif self.move_stage_background:
+                stage_cropped, ul = slightly_move_crop_pil_image(
+                    Image.open(stage_path).convert("RGB"),
+                    self.img_dimension, self.img_dimension, ul, 10, rng,
+                )
+            frame = load_and_composite_sprite(
+                frame_path, stage_cropped, self.synth_difficulty, rng
+            )
+            frames.append(np.array(frame))
+
+        input_frames = np.asarray(frames, dtype=np.float32) / 255.0
+        anim_label = np.asarray([self._label_id(a) for a in clip_actions], dtype=np.int32)
+        meta = {"char": char, "frame_paths": clip_paths, "actions": clip_actions}
+        return input_frames, np.int32(char_label), anim_label, meta
+
+    # ---------------- curriculum hooks (reference: :561-567) ----------------
+
+    def make_synth_more_challenging(self):
+        if self.synth_difficulty < 2:
+            self.synth_difficulty += 1
+
+    def switch_num_frames_per_sample(self):
+        self.num_frames_per_sample = int(self.rng.choice(self.num_frames_per_sample_options))
+
+    # ---------------- batch assembly ----------------
+
+    def batches(self, batch_size, num_batches=None):
+        """Yield (frames [B,T,H,W,3], char_ids [B], labels [B,T]) host arrays."""
+        count = 0
+        total = num_batches if num_batches is not None else max(self.num_samples // batch_size, 1)
+        while count < total:
+            frames, chars, labels = [], [], []
+            for _ in range(batch_size):
+                f, c, a, _meta = self[0]
+                frames.append(f)
+                chars.append(c)
+                labels.append(a)
+            yield (
+                np.stack(frames),
+                np.asarray(chars, dtype=np.int32),
+                np.stack(labels),
+            )
+            count += 1
