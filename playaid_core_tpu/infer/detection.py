@@ -1,0 +1,123 @@
+"""Character-detection seam.
+
+The reference shells out to an external YOLOv5 checkout
+(reference: ai_runner.py:191-224).  That seam is preserved (pluggable
+subprocess command), and a detection-free projection detector is added:
+when an ult_logger log exists, fighter crops come from batched camera
+projection — no detector needed at all (this is how the primary
+ground-truth path already works).
+
+Helpers for YOLO label file I/O match the reference exactly
+(reference: ai_runner.py:53-94).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import subprocess
+
+from playaid_core_tpu import constants
+from playaid_core_tpu.geometry import YoloCrop
+
+
+def extract_number_from_filename(filename: str) -> int:
+    """Trailing number before the extension (reference: ai_runner.py:37-50)."""
+    match = re.search(r"(\d+)(?=\.\w+$)", filename)
+    if match:
+        return int(match.group(1))
+    raise ValueError(f"Cannot get number from filename {filename}")
+
+
+def read_fighter_yolo_crop(label_path, fighter):
+    """First crop in a label file whose class id matches ``fighter``
+    (reference: ai_runner.py:53-71)."""
+    with open(label_path) as file:
+        for line in file.readlines():
+            assert len(line.split(" ")) == 6, (
+                f"Too much data for line: {line} in label {label_path}"
+            )
+            class_id, center_x, center_y, width, height, confidence = line.split(" ")
+            if int(class_id) == constants.CHAR_LIST.index(fighter):
+                return YoloCrop(
+                    float(center_x), float(center_y), float(width), float(height),
+                    confidence=float(confidence), class_id=int(class_id),
+                )
+    return None
+
+
+def read_yolo_crops(label_path):
+    """(reference: ai_runner.py:74-94)"""
+    crops = []
+    with open(label_path) as file:
+        for line in file.readlines():
+            assert len(line.split(" ")) == 6, (
+                f"Too much data for line: {line} in label {label_path}"
+            )
+            class_id, center_x, center_y, width, height, confidence = line.split(" ")
+            crops.append(
+                YoloCrop(
+                    float(center_x), float(center_y), float(width), float(height),
+                    confidence=float(confidence), class_id=int(class_id),
+                )
+            )
+    return crops
+
+
+class ExternalYoloDetector:
+    """Subprocess seam to an external detector (reference: ai_runner.py:191-224).
+
+    Produces crops/labels under ``<ai_cache>/<exp_name>/`` in YOLOv5
+    --save-crop/--save-txt layout.  Idempotent: skipped when the crops dir
+    already exists.
+    """
+
+    def __init__(self, weights=None, yolo_dir=None, classes=(2, 3), max_det=2):
+        self.weights = weights or os.path.join(
+            constants.SAVED_YOLO_MODELS, "byleth-diddy-pikachu-joker-july-31-2023.pt"
+        )
+        self.yolo_dir = yolo_dir or constants.YOLO_DIR
+        self.classes = classes
+        self.max_det = max_det
+
+    def run(self, input_video_path, exp_name):
+        crops_dir = os.path.join(constants.AI_CACHE, exp_name, "crops")
+        if os.path.exists(crops_dir):
+            return exp_name
+        command = [
+            "python",
+            os.path.join(self.yolo_dir, "detect.py"),
+            "--weights", self.weights,
+            "--source", input_video_path,
+            "--project", constants.AI_CACHE,
+            "--name", exp_name,
+            "--max-det", str(self.max_det),
+            "--save-crop", "--save-txt", "--save-conf", "--exist-ok",
+            "--classes", *[str(c) for c in self.classes],
+        ]
+        subprocess.run(command, check=True)
+        return exp_name
+
+
+class ProjectionDetector:
+    """Detection-free crops from an ult_logger log via batched camera
+    projection.  Returns per-frame {fighter_name: YoloCrop}."""
+
+    def __init__(self, label_path, log_offset=0):
+        from playaid_core_tpu.timeline import (
+            load_ground_truth_from_path,
+            precompute_timeline_projection,
+            update_fighters_from_timeline,
+        )
+
+        self.timeline = load_ground_truth_from_path(label_path, log_offset=log_offset)
+        precompute_timeline_projection(self.timeline)
+        self._update = update_fighters_from_timeline
+        self.fighters = []
+
+    def __len__(self):
+        return len(self.timeline)
+
+    def crops_for_frame(self, frame_number):
+        self.fighters = self._update(frame_number, self.timeline[frame_number], self.fighters)
+        return {f.fighter_name: f.crop for f in self.fighters}

@@ -1,0 +1,379 @@
+"""AI inference pipeline: detection cleanup + batched TPU action
+recognition + damage OCR.
+
+Rebuild of the reference AIRunner (reference: ai_runner.py:136-620) with
+the same file-level contract — YOLO crops/labels cache layout, duplicate
+suppression, missed-detection interpolation, tail fill, ``ai_output.yaml``
+— but a device-batched recognition core: all crops are embedded once in
+large batches, middle-out windows are gathered over the embedding
+sequence, and the temporal head classifies every frame at once
+(see :mod:`playaid_core_tpu.infer.pipeline`), replacing the reference's
+batch-1, 7-disk-reads-per-prediction hot loop
+(reference: ai_runner.py:426-520).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections import defaultdict
+from datetime import datetime
+
+import click
+import cv2
+import numpy as np
+import yaml
+
+import jax.numpy as jnp
+
+from playaid_core_tpu import constants
+from playaid_core_tpu.adict import Dict
+from playaid_core_tpu.geometry import YoloCrop, aspect_resize
+from playaid_core_tpu.infer.detection import (
+    ExternalYoloDetector,
+    extract_number_from_filename,
+    read_fighter_yolo_crop,
+    read_yolo_crops,
+)
+from playaid_core_tpu.infer.ocr import PLAYER_DAMAGE_CROPS, TemplateDigitOCR
+from playaid_core_tpu.infer.pipeline import BatchedActionPipeline
+from playaid_core_tpu.ontology import MOVE_TO_CLASS_ID
+from playaid_core_tpu.video.reader import VideoReader
+
+
+class AIRunner:
+    """Runs e2e tracking and action recognition for one VOD."""
+
+    def __init__(
+        self,
+        input_video_path: str,
+        debug: bool = False,
+        detector=None,
+        pipeline: BatchedActionPipeline | None = None,
+        variables=None,
+        fighters=None,
+        **dataset_args,
+    ):
+        self.input_video_path = input_video_path
+        self.src_folder, self.file_name = os.path.split(input_video_path)
+        self.video_name, _ = os.path.splitext(self.file_name)
+        parent_folder = os.path.basename(self.src_folder)
+        self.exp_name = os.path.join(parent_folder, self.video_name)
+        self.yolo_output_dir = os.path.join(constants.AI_CACHE, self.exp_name)
+        self.ai_output_file = os.path.join(self.yolo_output_dir, "ai_output.yaml")
+        self.crops_dir = os.path.join(self.yolo_output_dir, "crops")
+        self.labels_dir = os.path.join(self.yolo_output_dir, "labels")
+        self.dataset_args = dataset_args
+
+        self.actions = list(MOVE_TO_CLASS_ID.keys())
+        self.pipeline = pipeline or BatchedActionPipeline(
+            family="cnn",
+            num_actions=len(self.actions),
+            sequence_length=dataset_args.get("num_frames_per_sample", 7),
+            frame_delta=dataset_args.get("frame_delta", 3),
+        )
+        self.variables = variables
+
+        self.detector = detector or ExternalYoloDetector()
+        res, self.ai_output_data = self.load_ai_output()
+
+        self.debug = debug
+        date_time_str = datetime.now().strftime("%Y-%m-%d-%H:%M:%S")
+        self.debug_path = os.path.join(self.yolo_output_dir, f"debug-{date_time_str}")
+        if self.debug and not os.path.exists(self.debug_path):
+            os.makedirs(self.debug_path)
+
+        self.reader = VideoReader(input_video_path)
+        self._forced_fighters = fighters
+        self.fighters = []
+        self.max_frames = 0
+
+    # ------------------------------------------------------------------
+    # Detection + crop cleanup (reference: ai_runner.py:181-424)
+    # ------------------------------------------------------------------
+
+    def run_detection_setup(self):
+        self.detector.run(self.input_video_path, self.exp_name)
+        self.fighters = self._forced_fighters or [
+            f for f in os.listdir(self.crops_dir)
+            if os.path.isdir(os.path.join(self.crops_dir, f))
+        ]
+        self.clean_yolo_crops()
+
+    def clean_yolo_crops(self):
+        num_fighters = len(
+            [f for f in os.listdir(self.crops_dir)
+             if os.path.isdir(os.path.join(self.crops_dir, f))]
+        )
+        if num_fighters != 2:
+            raise RuntimeError(
+                f"Detected {num_fighters} characters; exactly 2 are required"
+            )
+
+        last_frame_path = self.get_label_paths()[-1]
+        self.max_frames = extract_number_from_filename(last_frame_path)
+
+        # Remove spurious high-numbered crops left by double-detections
+        # (reference: ai_runner.py:246-257).
+        for fighter in self.fighters:
+            for crop_path in reversed(self.get_crop_paths(fighter)):
+                if extract_number_from_filename(crop_path) <= self.max_frames:
+                    break
+                os.unlink(crop_path)
+
+        # Ensure a label file exists for every frame (reference: :259-265).
+        for i in range(1, self.max_frames):
+            path = self.get_label_path(i)
+            if not os.path.exists(path):
+                with open(path, "w"):
+                    pass
+
+        for fighter in self.fighters:
+            self.clean_yolo_crops_for_fighter(fighter)
+
+        # Tail fill: duplicate the last crop to the global max frame
+        # (reference: :271-289).
+        fighter_to_max = {
+            fighter: extract_number_from_filename(self.get_crop_paths(fighter)[-1])
+            for fighter in self.fighters
+        }
+        max_frames = max(fighter_to_max.values())
+        for fighter, last_frame_num in fighter_to_max.items():
+            num_remaining = max_frames - last_frame_num
+            if not num_remaining:
+                continue
+            last_frame = cv2.imread(self.get_crop_paths(fighter)[-1])
+            for i in range(last_frame_num, last_frame_num + num_remaining):
+                cv2.imwrite(self.get_crop_path(fighter, i), last_frame)
+
+    def get_label_path(self, frame_num):
+        return os.path.join(self.labels_dir, f"{self.video_name}_{frame_num}.txt")
+
+    def get_crop_path(self, fighter, frame_num):
+        return os.path.join(self.crops_dir, fighter, f"{self.video_name}_{frame_num}.jpg")
+
+    def get_label_paths(self):
+        import glob
+
+        label_paths = glob.glob(os.path.join(self.labels_dir, "*.txt"))
+        return sorted(label_paths, key=extract_number_from_filename)
+
+    def get_crop_paths(self, fighter):
+        import glob
+
+        crop_paths = glob.glob(os.path.join(self.crops_dir, fighter, "*.jpg"))
+        return sorted(crop_paths, key=extract_number_from_filename)
+
+    def clean_yolo_crops_for_fighter(self, fighter):
+        """Duplicate suppression + gap interpolation
+        (reference: ai_runner.py:306-424)."""
+        crop_paths = self.get_crop_paths(fighter)
+        label_paths = self.get_label_paths()
+
+        # Nearest-to-previous-center duplicate suppression.
+        previous_class_id_to_crop = {}
+        for label_path in label_paths:
+            class_id_to_crop = defaultdict(list)
+            yolo_crops = read_yolo_crops(label_path)
+            for crop in yolo_crops:
+                class_id_to_crop[crop.class_id].append(crop)
+
+            found_duplicate = False
+            for class_id, crops in class_id_to_crop.items():
+                if len(crops) > 1 and class_id in previous_class_id_to_crop:
+                    found_duplicate = True
+                    prev = previous_class_id_to_crop[class_id]
+                    nearest = min(
+                        crops,
+                        key=lambda c: abs(c.center_x - prev.center_x)
+                        + abs(c.center_y - prev.center_y),
+                    )
+                    class_id_to_crop[class_id] = [nearest]
+
+            new_yolo_strings = []
+            for class_id, crops in class_id_to_crop.items():
+                if len(crops) > 1:
+                    # No previous reference: keep the first.
+                    crops = crops[:1]
+                    class_id_to_crop[class_id] = crops
+                new_yolo_strings.append(str(crops[0]))
+                previous_class_id_to_crop[class_id] = crops[0]
+
+            if not found_duplicate:
+                continue
+            with open(label_path, "w") as f:
+                f.write("\n".join(new_yolo_strings) + "\n")
+
+        # Interpolate missed detections.
+        latest_seen_frame = extract_number_from_filename(label_paths[0])
+        for crop_path in crop_paths:
+            current_frame = extract_number_from_filename(crop_path)
+            if current_frame - latest_seen_frame > 1:
+                latest_label = self.get_label_path(latest_seen_frame)
+                current_label = self.get_label_path(current_frame)
+                start_crop = read_fighter_yolo_crop(latest_label, fighter)
+                end_crop = read_fighter_yolo_crop(current_label, fighter)
+                assert start_crop, f"missing start crop {latest_label} for {fighter}"
+                assert end_crop, f"missing end crop {current_label} for {fighter}"
+
+                for j in range(latest_seen_frame + 1, current_frame):
+                    if read_fighter_yolo_crop(self.get_label_path(j), fighter):
+                        continue
+                    interp_percent = (current_frame - j) / (current_frame - latest_seen_frame)
+                    interp_crop = start_crop.interp(end_crop, percent=interp_percent)
+
+                    with open(self.get_label_path(j), "a") as f:
+                        f.write(str(interp_crop) + "\n")
+
+                    ok, input_frame = self.reader.read_at(j)
+                    if not ok:
+                        shutil.copy(
+                            self.get_crop_path(fighter, j - 1),
+                            self.get_crop_path(fighter, j),
+                        )
+                        continue
+                    ok, crop = interp_crop.square_crop(input_frame, 128, padding=30)
+                    assert ok, f"Failed to get square crop from frame {j}"
+                    cv2.imwrite(self.get_crop_path(fighter, j), crop)
+
+            latest_seen_frame = current_frame
+
+    # ------------------------------------------------------------------
+    # Batched action recognition (replaces reference: ai_runner.py:426-520)
+    # ------------------------------------------------------------------
+
+    def _load_crop(self, path, output_size=128):
+        frame = cv2.imread(path)
+        assert frame is not None, f"Failed to read crop {path}"
+        frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        frame = aspect_resize(frame, width=output_size)
+        if frame.shape[0] != output_size or frame.shape[1] != output_size:
+            from PIL import Image, ImageOps
+
+            frame = np.array(
+                ImageOps.pad(Image.fromarray(frame), (output_size, output_size),
+                             color="black")
+            )
+        return frame
+
+    def ensure_variables(self, rng_seed=0):
+        if self.variables is None:
+            import jax
+
+            self.variables = self.pipeline.init(jax.random.PRNGKey(rng_seed))
+        return self.variables
+
+    def run_action_recognition(self, overwrite=False, embed_batch=256):
+        """Classify every frame of every fighter in device-sized batches."""
+        self.ensure_variables()
+        for fighter in self.fighters:
+            if not overwrite and self.ai_output_data[fighter][0].action:
+                continue
+
+            # 1) load crops once (frames 1..max_frames, 1-indexed like YOLO).
+            frame_nums = list(range(1, self.max_frames))
+            crops = np.stack([
+                self._load_crop(self.get_crop_path(fighter, i)) for i in frame_nums
+            ]).astype(np.float32) / 255.0
+
+            # 2) embed once, in chunks.
+            embeddings = []
+            for start in range(0, len(crops), embed_batch):
+                chunk = jnp.asarray(crops[start : start + embed_batch])
+                embeddings.append(np.asarray(self.pipeline.embed_crops(self.variables, chunk)))
+            embeddings = jnp.asarray(np.concatenate(embeddings, axis=0))
+
+            # 3) classify all windows at once (min_frame=1 in crop-file space
+            #    -> index 0 of the embedding sequence).
+            labels, conf = self.pipeline.classify_sequence(
+                self.variables, embeddings, min_frame=0
+            )
+            labels = np.asarray(labels)
+            conf = np.asarray(conf)
+
+            for pos, frame_num in enumerate(frame_nums):
+                crop = read_fighter_yolo_crop(self.get_label_path(frame_num), fighter)
+                frame_data = self.ai_output_data[fighter][frame_num - 1]
+                frame_data.crop = str(crop)
+                frame_data.action = self.actions[int(labels[pos])]
+                frame_data.predicted_action_confidence = float(conf[pos])
+
+    # ------------------------------------------------------------------
+    # Damage OCR (reference: ai_runner.py:522-590)
+    # ------------------------------------------------------------------
+
+    def determine_player_id_to_fighter(self):
+        """Left-most detection in the first labeled frame is player 0
+        (generalising the reference's hardcoded Pikachu/Joker map,
+        ai_runner.py:522-535)."""
+        self.player_id_to_fighter = {}
+        label_paths = self.get_label_paths()
+        for path in label_paths:
+            crops = read_yolo_crops(path)
+            if len(crops) == 2:
+                ordered = sorted(crops, key=lambda c: c.center_x)
+                for pid, crop in enumerate(ordered):
+                    if 0 <= crop.class_id < len(constants.CHAR_LIST):
+                        self.player_id_to_fighter[pid] = constants.CHAR_LIST[crop.class_id]
+                if len(self.player_id_to_fighter) == 2:
+                    return self.player_id_to_fighter
+        # Fallback to the detected fighter dirs.
+        for pid, fighter in enumerate(self.fighters[:2]):
+            self.player_id_to_fighter[pid] = fighter
+        return self.player_id_to_fighter
+
+    def run_damage_detection(self, ocr=None):
+        self.determine_player_id_to_fighter()
+        ocr = ocr or TemplateDigitOCR()
+        num_confident = 0
+        for i, input_frame in self.reader.iter_frames(0, self.max_frames):
+            for player_id, params in PLAYER_DAMAGE_CROPS.items():
+                damage_img = YoloCrop(**params).crop_img(input_frame)
+                res, (damage, raw, confidence, details) = ocr(damage_img)
+                num_confident += int(res)
+                if self.debug:
+                    cv2.imwrite(
+                        os.path.join(
+                            self.debug_path,
+                            f"{i}_p{player_id}_{'_' if res else 'FAIL_'}{damage}_{raw}.jpg",
+                        ),
+                        damage_img,
+                    )
+                fighter = self.player_id_to_fighter[player_id]
+                self.ai_output_data[fighter][i].damage = damage
+        return num_confident
+
+    # ------------------------------------------------------------------
+    # ai_output.yaml cache (reference: ai_runner.py:592-608)
+    # ------------------------------------------------------------------
+
+    def load_ai_output(self):
+        if not os.path.exists(self.ai_output_file):
+            return False, Dict()
+        with open(self.ai_output_file, "r") as f:
+            try:
+                return True, Dict(yaml.safe_load(f))
+            except Exception:
+                return False, Dict()
+
+    def write_output(self):
+        os.makedirs(self.yolo_output_dir, exist_ok=True)
+        with open(self.ai_output_file, "w") as f:
+            yaml.dump(self.ai_output_data.to_dict(), f)
+
+
+@click.command()
+@click.option("--video", "-v", help="Path to video")
+def ai_runner(video):
+    """Entrypoint to AIRunner (reference: ai_runner.py:611-622)."""
+    runner = AIRunner(input_video_path=video, debug=True)
+    runner.run_detection_setup()
+    runner.run_action_recognition()
+    runner.write_output()
+    runner.run_damage_detection()
+    runner.write_output()
+    print("🎉 COMPLETED 🎉")
+
+
+if __name__ == "__main__":
+    ai_runner()

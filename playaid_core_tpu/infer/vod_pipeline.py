@@ -1,0 +1,275 @@
+"""End-to-end VOD analysis pipeline: decode -> windows -> TPU -> labels.
+
+The throughput-critical composition for the headline workload (1080p60
+two-fighter action detection).  Stage layout chosen from measured
+bottlenecks on TPU-attached hosts:
+
+* **decode** — bounded parallel segment decoding (cv2), scaled to host
+  cores; each worker immediately extracts the two fixed-size uint8 crop
+  windows per frame and discards the full frame, so buffered chunks cost
+  ~1 MB/frame instead of ~6 MB and host->device traffic drops ~7x (raw
+  1080p frames would cap the pipeline at the PCIe/tunnel bandwidth);
+* **device** — windows resample to 128x128 via the separable-matmul
+  bilinear op, ResNet embeddings computed once per crop (bf16, big
+  batches), then middle-out windows over the *embedding* sequence feed the
+  temporal head (see :mod:`playaid_core_tpu.infer.pipeline`);
+* stages overlap through JAX async dispatch + a bounded decode queue.
+
+This replaces the reference's per-frame seek + per-window batch-1 torch
+loop (reference: ai_runner.py:426-520, manuscript.py:154).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from playaid_core_tpu.infer.pipeline import BatchedActionPipeline
+from playaid_core_tpu.ops.preprocess import batched_window_resize
+
+
+def extract_windows(frame, boxes, window, padding):
+    """Slice per-box square windows out of one BGR frame.
+
+    boxes: [K, 4] normalized yolo.  Returns (windows [K, window, window, 3]
+    uint8 BGR with black out-of-frame fill, origins [K, 3] = window-relative
+    (y0, x0, side) for the device resample), matching
+    YoloCrop.square_crop geometry (reference: fighter.py:323-344).
+    """
+    h, w = frame.shape[:2]
+    k = boxes.shape[0]
+    wins = np.zeros((k, window, window, 3), np.uint8)
+    origins = np.zeros((k, 3), np.float32)
+    for j in range(k):
+        cx, cy, bw, bh = boxes[j]
+        cxp, cyp = int(cx * w), int(cy * h)
+        half = int(max(int(bw * w), int(bh * h)) / 2)
+        side = 2 * (half + padding)
+        y0 = cyp - half - padding
+        x0 = cxp - half - padding
+        ys, xs = y0, x0
+        vy0, vy1 = max(0, ys), min(h, ys + window)
+        vx0, vx1 = max(0, xs), min(w, xs + window)
+        if vy1 > vy0 and vx1 > vx0:
+            wins[j, vy0 - ys : vy1 - ys, vx0 - xs : vx1 - xs] = frame[vy0:vy1, vx0:vx1]
+        origins[j] = (0.0, 0.0, float(side))
+    return wins, origins
+
+
+def extract_crops(frame, boxes, out_size, padding):
+    """Host-side square letterboxed crops (YoloCrop.square_crop semantics)
+    for each box of one BGR frame -> [K, out_size, out_size, 3] uint8.
+
+    Used on CPU-constrained hosts with a slow device link, where shipping
+    pre-resized crops (98 KB/frame) beats shipping raw windows: the link
+    serialization itself costs CPU and starves the decoder.
+    """
+    import cv2
+
+    h, w = frame.shape[:2]
+    k = boxes.shape[0]
+    out = np.zeros((k, out_size, out_size, 3), np.uint8)
+    for j in range(k):
+        cx, cy, bw, bh = boxes[j]
+        cxp, cyp = int(cx * w), int(cy * h)
+        half = int(max(int(bw * w), int(bh * h)) / 2)
+        side = 2 * (half + padding)
+        if side <= 0:
+            continue
+        y0, x0 = cyp - half - padding, cxp - half - padding
+        canvas = np.zeros((side, side, 3), np.uint8)
+        vy0, vy1 = max(0, y0), min(h, y0 + side)
+        vx0, vx1 = max(0, x0), min(w, x0 + side)
+        if vy1 > vy0 and vx1 > vx0:
+            canvas[vy0 - y0 : vy1 - y0, vx0 - x0 : vx1 - x0] = frame[vy0:vy1, vx0:vx1]
+        out[j] = cv2.resize(canvas, (out_size, out_size), interpolation=cv2.INTER_AREA)
+    return out
+
+
+class BoundedSegmentDecoder:
+    """Decode a video with N workers over frame segments, run a per-frame
+    host transform in the worker, and emit ordered chunks through a
+    bounded buffer (at most ``ahead`` chunks in flight)."""
+
+    def __init__(self, path, num_frames, chunk, transform, workers=None, ahead=3,
+                 collate=None):
+        import cv2
+
+        self.path = path
+        self.num_frames = num_frames
+        self.chunk = chunk
+        self.transform = transform
+        self.collate = collate
+        self.num_chunks = (num_frames + chunk - 1) // chunk
+        workers = workers or max(1, min((os.cpu_count() or 1), 6))
+        self.workers_n = min(workers, self.num_chunks)
+
+        self._results = {}
+        self._cond = threading.Condition()
+        self._next_emit = 0
+        self._task_q = queue.Queue()
+        for t in range(self.num_chunks):
+            self._task_q.put(t)
+        self._ahead = ahead
+        self._threads = [
+            threading.Thread(target=self._worker, daemon=True)
+            for _ in range(self.workers_n)
+        ]
+        for t in self._threads:
+            t.start()
+
+    def _worker(self):
+        import cv2
+
+        cap = cv2.VideoCapture(self.path)
+        pos = -10**9
+        while True:
+            try:
+                chunk_idx = self._task_q.get_nowait()
+            except queue.Empty:
+                cap.release()
+                return
+            # Backpressure: don't decode more than `ahead` chunks past the
+            # consumer.
+            with self._cond:
+                while chunk_idx > self._next_emit + self._ahead:
+                    self._cond.wait()
+            start = chunk_idx * self.chunk
+            stop = min(start + self.chunk, self.num_frames)
+            if start != pos:
+                cap.set(cv2.CAP_PROP_POS_FRAMES, start)
+            out = []
+            for i in range(start, stop):
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                out.append(self.transform(i, frame))
+            pos = stop
+            # Chunk assembly happens here in the worker thread, keeping the
+            # consumer thread free for device dispatch.
+            if self.collate is not None:
+                out = self.collate(start, out)
+            with self._cond:
+                self._results[chunk_idx] = (start, out)
+                self._cond.notify_all()
+
+    def __iter__(self):
+        for idx in range(self.num_chunks):
+            with self._cond:
+                while idx not in self._results:
+                    self._cond.wait()
+                item = self._results.pop(idx)
+                self._next_emit = idx + 1
+                self._cond.notify_all()
+            yield item
+
+
+class VodAnalyzer:
+    """Analyze a VOD: per-frame action labels for both fighters."""
+
+    def __init__(self, pipeline: BatchedActionPipeline | None = None, variables=None,
+                 window=384, padding=30, chunk=48, decode_workers=None,
+                 host_resize=True):
+        self.pipeline = pipeline or BatchedActionPipeline(family="cnn")
+        self.variables = variables
+        self.window = window
+        self.padding = padding
+        self.chunk = chunk
+        self.decode_workers = decode_workers
+        # host_resize: crops are resized to model resolution in the decode
+        # workers and shipped as uint8 (98 KB/frame) — right for few-core
+        # hosts and tunneled devices, where link serialization costs CPU.
+        # False ships raw windows and resizes on device (multi-core hosts
+        # with fast PCIe links).
+        self.host_resize = host_resize
+
+    def ensure_variables(self, seed=0):
+        if self.variables is None:
+            self.variables = self.pipeline.init(jax.random.PRNGKey(seed))
+        return self.variables
+
+    def _resize_embed(self, wins, origins):
+        """[B, 2, W, W, 3] BGR uint8 + [B, 2, 3] -> [B*2, D] embeddings.
+        One fused device call (flip + resize + normalize + embed)."""
+        b = wins.shape[0]
+        flat = wins.reshape((b * 2,) + wins.shape[2:])
+        org = origins.reshape(b * 2, 3)
+        return self.pipeline.embed_windows(self.variables, flat, org)
+
+    def analyze(self, video_path, boxes, num_frames=None, progress=False):
+        """boxes: [F, 2, 4] normalized yolo boxes per frame.
+
+        Returns dict with per-fighter labels/confidences [F] and timing.
+        """
+        self.ensure_variables()
+        f_total = boxes.shape[0] if num_frames is None else num_frames
+
+        chunk = self.chunk
+        crop_size = self.pipeline.crop_size
+
+        if self.host_resize:
+            def transform(i, frame):
+                return extract_crops(frame, boxes[i], crop_size, self.padding)
+
+            def collate(start, items):
+                n = len(items)
+                crops = np.zeros((chunk, 2, crop_size, crop_size, 3), np.uint8)
+                for j, c in enumerate(items):
+                    crops[j] = c
+                return n, crops, None
+        else:
+            def transform(i, frame):
+                return extract_windows(frame, boxes[i], self.window, self.padding)
+
+            def collate(start, items):
+                """Assemble (and zero-pad to a fixed chunk size — one
+                compiled shape for every chunk, no mid-run recompiles) in
+                the worker."""
+                n = len(items)
+                wins = np.zeros((chunk, 2, self.window, self.window, 3), np.uint8)
+                origins = np.zeros((chunk, 2, 3), np.float32)
+                for j, (w, o) in enumerate(items):
+                    wins[j] = w
+                    origins[j] = o
+                return n, wins, origins
+
+        t0 = time.time()
+        embeddings = []
+        decoded = 0
+        decoder = BoundedSegmentDecoder(
+            video_path, f_total, self.chunk, transform, workers=self.decode_workers,
+            collate=collate,
+        )
+        n_last = self.chunk
+        for start, (n, wins, origins) in decoder:
+            if n == 0:
+                continue
+            if self.host_resize:
+                flat = wins.reshape((chunk * 2,) + wins.shape[2:])
+                embeddings.append(
+                    self.pipeline.embed_crops_u8(self.variables, flat)
+                )
+            else:
+                embeddings.append(self._resize_embed(wins, origins))
+            decoded += n
+            n_last = n
+
+        # One fused device program for concat + window gather + both
+        # fighters' classification, then a single device->host readback.
+        labels, conf = self.pipeline.classify_chunked(self.variables, embeddings, n_last)
+        labels, conf = jax.device_get((labels, conf))
+        elapsed = time.time() - t0
+        return {
+            "labels": np.asarray(labels),        # [F, 2]
+            "confidences": np.asarray(conf),     # [F, 2]
+            "frames": decoded,
+            "seconds": elapsed,
+            "fps": decoded / elapsed if elapsed > 0 else 0.0,
+        }

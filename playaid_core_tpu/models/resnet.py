@@ -126,6 +126,6 @@ ResNet50 = partial(ResNet, stage_sizes=[3, 4, 6, 3], block_cls=BottleneckBlock)
 FEATURE_DIMS = {"resnet18": 512, "resnet34": 512, "resnet50": 2048}
 
 
-def make_resnet(name: str, num_classes: int = 1000, dtype=jnp.float32) -> ResNet:
-    factory = {"resnet18": ResNet18, "resnet34": ResNet34, "resnet50": ResNet50}[name]
-    return factory(num_classes=num_classes, dtype=dtype)
+def make_resnet(arch: str, num_classes: int = 1000, dtype=jnp.float32, **kwargs) -> ResNet:
+    factory = {"resnet18": ResNet18, "resnet34": ResNet34, "resnet50": ResNet50}[arch]
+    return factory(num_classes=num_classes, dtype=dtype, **kwargs)

@@ -36,8 +36,9 @@ def _axis_weight_matrix(origin_abs, window_start, side, frame_len, out_size, max
     origin_abs: float start of the (possibly out-of-bounds) source window.
     window_start: int row/col where the DMA'd window begins in the frame.
     """
-    i = jax.lax.broadcasted_iota(jnp.float32, (out_size, max_win), 0)
-    k = jax.lax.broadcasted_iota(jnp.float32, (out_size, max_win), 1)
+    # Mosaic iota must be integer-typed; cast to f32 afterwards.
+    i = jax.lax.broadcasted_iota(jnp.int32, (out_size, max_win), 0).astype(jnp.float32)
+    k = jax.lax.broadcasted_iota(jnp.int32, (out_size, max_win), 1).astype(jnp.float32)
     src_abs = origin_abs + (i + 0.5) * side / out_size - 0.5
     lo = jnp.floor(src_abs)
     frac = src_abs - lo
@@ -48,28 +49,35 @@ def _axis_weight_matrix(origin_abs, window_start, side, frame_len, out_size, max
 
 
 def _crop_kernel(params_ref, starts_ref, planes_ref, out_ref, win_ref, sem,
-                 *, out_size, max_win, frame_h, frame_w, normalize):
+                 *, out_size, win_h, win_w, frame_h, frame_w, normalize):
     n = pl.program_id(0)
     c = pl.program_id(1)
 
     y0 = params_ref[n, 0]
     x0 = params_ref[n, 1]
     side = params_ref[n, 2]
-    ys = starts_ref[n, 0]
-    xs = starts_ref[n, 1]
+    # Window starts are pre-aligned to the uint8 tile grid (32 sublanes x
+    # 128 lanes) by the host wrapper; the hints let Mosaic prove the DMA
+    # slice is tile-aligned.
+    ys = pl.multiple_of(starts_ref[n, 0], 32)
+    xs = pl.multiple_of(starts_ref[n, 1], 128)
 
     dma = pltpu.make_async_copy(
-        planes_ref.at[n, c, pl.ds(ys, max_win), pl.ds(xs, max_win)],
+        planes_ref.at[n, c, pl.ds(ys, win_h), pl.ds(xs, win_w)],
         win_ref,
         sem,
     )
     dma.start()
 
-    wy = _axis_weight_matrix(y0, ys, side, frame_h, out_size, max_win)
-    wx = _axis_weight_matrix(x0, xs, side, frame_w, out_size, max_win)
+    wy = _axis_weight_matrix(y0, ys, side, frame_h, out_size, win_h)
+    wx = _axis_weight_matrix(x0, xs, side, frame_w, out_size, win_w)
 
     dma.wait()
-    window = win_ref[:].astype(jnp.float32)
+    # Mosaic can't lower uint8 -> f32 directly; hop through int32.
+    window = win_ref[:]
+    if window.dtype == jnp.uint8:
+        window = window.astype(jnp.int32)
+    window = window.astype(jnp.float32)
 
     tmp = jnp.dot(wy, window, preferred_element_type=jnp.float32)  # [S, K]
     out = jax.lax.dot_general(
@@ -83,15 +91,16 @@ def _crop_kernel(params_ref, starts_ref, planes_ref, out_ref, win_ref, sem,
 
 @partial(
     jax.jit,
-    static_argnames=("out_size", "padding", "max_win", "bgr_to_rgb", "normalize",
-                     "interpret"),
+    static_argnames=("out_size", "padding", "win_h", "win_w", "bgr_to_rgb",
+                     "normalize", "interpret"),
 )
 def pallas_square_crop_resize(
     frames,
     boxes,
     out_size: int = 128,
     padding: int = 0,
-    max_win: int = 512,
+    win_h: int = 384,
+    win_w: int = 512,
     bgr_to_rgb: bool = False,
     normalize: bool = True,
     interpret: bool = False,
@@ -99,9 +108,14 @@ def pallas_square_crop_resize(
     """Pallas-fused batched crop/letterbox/resize/normalize.
 
     frames: [N, H, W, 3] uint8; boxes: [N, 4] normalized yolo boxes.
-    Crops larger than ``max_win - 2`` pixels on a side are undefined (pick
-    max_win to cover the detector's largest output; 512 covers 720p
-    fighter crops, use 768 for 1080p).
+
+    Window sizing: DMA starts are aligned down to the uint8 tile grid
+    (32 sublanes x 128 lanes), so the static window must cover the largest
+    crop plus slack and fit in the frame:
+        side_max + 34  <= win_h <= H
+        side_max + 130 <= win_w <= W
+    The defaults (384 x 512) cover fighter crops up to ~350 px on 720p+
+    frames; use (512, 640) for 1080p crops up to ~470 px.
     Returns [N, out_size, out_size, 3] float32.
     """
     n, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
@@ -109,8 +123,15 @@ def pallas_square_crop_resize(
     side = jnp.maximum(side, 1.0)
     params = jnp.stack([y0, x0, side], axis=1)  # [N, 3] f32
 
-    ys = jnp.clip(jnp.floor(y0), 0, max(h - max_win, 0)).astype(jnp.int32)
-    xs = jnp.clip(jnp.floor(x0), 0, max(w - max_win, 0)).astype(jnp.int32)
+    # Align window starts DOWN to the uint8 tile grid (32 x 128) so the
+    # HBM DMA slice is provably tile-aligned; the weight matrices are in
+    # absolute coordinates, so extra leading slack never shifts content.
+    # max_win must therefore cover side + alignment slack (+2 for the
+    # bilinear high neighbor).
+    ys = jnp.clip(jnp.floor(y0), 0, max(h - win_h, 0)).astype(jnp.int32)
+    xs = jnp.clip(jnp.floor(x0), 0, max(w - win_w, 0)).astype(jnp.int32)
+    ys = (ys // 32) * 32
+    xs = (xs // 128) * 128
     starts = jnp.stack([ys, xs], axis=1)  # [N, 2] i32
 
     planes = jnp.transpose(frames, (0, 3, 1, 2))  # [N, 3, H, W]
@@ -126,7 +147,7 @@ def pallas_square_crop_resize(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((max_win, max_win), frames.dtype),
+            pltpu.VMEM((win_h, win_w), frames.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -135,7 +156,8 @@ def pallas_square_crop_resize(
         partial(
             _crop_kernel,
             out_size=out_size,
-            max_win=max_win,
+            win_h=win_h,
+            win_w=win_w,
             frame_h=h,
             frame_w=w,
             normalize=normalize,
@@ -144,8 +166,8 @@ def pallas_square_crop_resize(
         out_shape=jax.ShapeDtypeStruct((n, 3, out_size, out_size), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * n * 3 * (out_size * max_win * max_win + out_size * out_size * max_win),
-            bytes_accessed=n * 3 * (max_win * max_win + out_size * out_size * 4),
+            flops=2 * n * 3 * (out_size * win_h * win_w + out_size * out_size * win_w),
+            bytes_accessed=n * 3 * (win_h * win_w + out_size * out_size * 4),
             transcendentals=0,
         ),
     )(params, starts, planes)

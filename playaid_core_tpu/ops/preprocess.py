@@ -81,15 +81,21 @@ def _axis_weights(origin, side, src_len, out_size):
 
 
 def _crop_one(frame_f32, y0, x0, side, out_size):
-    """Resample one [H, W, 3] frame's window to [S, S, 3] via two matmuls."""
+    """Resample one [H, W, 3] frame's window to [S, S, 3] via two matmuls.
+
+    Channel-first internally: with channels (3) as a batch dim, the matmul
+    lane dimensions are W and S — MXU-tileable — instead of the 3-wide
+    channel axis.
+    """
     h, w = frame_f32.shape[0], frame_f32.shape[1]
     wy = _axis_weights(y0, side, h, out_size)  # [S, H]
     wx = _axis_weights(x0, side, w, out_size)  # [S, W]
-    # [S, H] @ [H, W, C] -> [S, W, C]
-    tmp = jnp.einsum("sh,hwc->swc", wy, frame_f32, preferred_element_type=jnp.float32)
-    # [S, W, C] x [S, W] -> [S, S, C]
-    out = jnp.einsum("swc,tw->stc", tmp, wx, preferred_element_type=jnp.float32)
-    return out
+    chw = jnp.transpose(frame_f32, (2, 0, 1))  # [C, H, W]
+    # [S, H] x [C, H, W] -> [C, S, W]
+    tmp = jnp.einsum("sh,chw->csw", wy, chw, preferred_element_type=jnp.float32)
+    # [C, S, W] x [T, W] -> [C, S, T]
+    out = jnp.einsum("csw,tw->cst", tmp, wx, preferred_element_type=jnp.float32)
+    return jnp.transpose(out, (1, 2, 0))
 
 
 @partial(jax.jit, static_argnames=("out_size", "padding", "bgr_to_rgb", "normalize"))
@@ -138,6 +144,27 @@ def batched_crop_resize_shared_frame(
     if bgr_to_rgb:
         frame_f = frame_f[..., ::-1]
     out = jax.vmap(_crop_one, in_axes=(None, 0, 0, 0, None))(frame_f, y0, x0, side, out_size)
+    if normalize:
+        out = out / 255.0
+    return out
+
+
+@partial(jax.jit, static_argnames=("out_size", "normalize"))
+def batched_window_resize(windows, y0, x0, side, out_size: int = 128, normalize: bool = True):
+    """Resample pre-extracted source windows to square outputs.
+
+    The host-side VOD pipeline extracts fixed-size uint8 windows around
+    each crop (cheap memcpy; ~7x less host->device traffic than raw
+    frames); this op maps output pixels back through the window-relative
+    origin (y0, x0) and side length — the same separable-matmul bilinear
+    resample as :func:`batched_square_crop_resize`, minus the cropping.
+
+    windows: [B, W, W, 3] uint8 (black where out-of-frame),
+    y0/x0/side: [B] float window-relative crop geometry.
+    """
+    out = jax.vmap(_crop_one, in_axes=(0, 0, 0, 0, None))(
+        windows.astype(jnp.float32), y0, x0, jnp.maximum(side, 1.0), out_size
+    )
     if normalize:
         out = out / 255.0
     return out

@@ -117,7 +117,8 @@ def test_pallas_kernel_interpret_matches_jax():
     )
     out = np.asarray(
         pallas_square_crop_resize(
-            jnp.asarray(frames), boxes, out_size=64, padding=4, max_win=160, interpret=True
+            jnp.asarray(frames), boxes, out_size=64, padding=4,
+            win_h=160, win_w=320, interpret=True,
         )
     )
     assert out.shape == ref.shape
