@@ -39,8 +39,30 @@ from playaid_core_tpu.geometry import (
 from playaid_core_tpu.ontology import FIGHTER_NAME_TO_ENUM, STAGE_ENUM_TO_DATA
 
 
+def _iter_log_records(label_path: str, parser: str = "auto"):
+    """Yield one record dict per log line.  ``parser``:
+    'auto' — C++ fast parser when buildable, else Python json;
+    'native' — C++ only; 'python' — json.loads per line.
+    The native path (native/log_parser.cpp) scans the known numeric fields
+    directly and is ~20-40x faster on the ingest hot path."""
+    if parser in ("auto", "native"):
+        from playaid_core_tpu.native import parse_log_records
+
+        records = parse_log_records(label_path)
+        if records is not None:
+            yield from records
+            return
+        if parser == "native":
+            raise RuntimeError("native log parser unavailable")
+    with open(label_path, "r") as f:
+        for line in f:
+            if line.strip():
+                yield json.loads(line)
+
+
 def load_ground_truth_from_path(
-    label_path: str, validate: bool = True, log_offset: int = 0, max_lines: int = 0
+    label_path: str, validate: bool = True, log_offset: int = 0, max_lines: int = 0,
+    parser: str = "auto",
 ):
     """Parse an ult_logger log into ``ground_truth[frame] -> [rec_p0, rec_p1]``
     (reference: timeline.py:204-280)."""
@@ -49,41 +71,41 @@ def load_ground_truth_from_path(
     index = 0
     offset_count = 0
 
+    record_iter = _iter_log_records(label_path, parser)
+
     if log_offset < 0:
         # Duplicate initial state (reference: timeline.py:219-228).
-        with open(label_path, "r") as f:
-            line1 = json.loads(f.readline())
-            line2 = json.loads(f.readline())
-            ground_truth = [[line1, line2]] * abs(log_offset)
-            index += 2 * abs(log_offset)
-            log_offset = 0
+        line1 = next(record_iter)
+        line2 = next(record_iter)
+        ground_truth = [[line1, line2]] * abs(log_offset)
+        index += 2 * abs(log_offset)
+        log_offset = 0
+        record_iter = _iter_log_records(label_path, parser)
 
-    with open(label_path, "r") as f:
-        for line in f:
-            if max_lines and index > max_lines:
-                break
-            # Each line is half a frame (one per fighter), so a log_offset of
-            # N frames skips 2N lines.
-            if offset_count < (2 * log_offset):
-                offset_count += 1
-                continue
+    for json_data in record_iter:
+        if max_lines and index > max_lines:
+            break
+        # Each record is half a frame (one per fighter), so a log_offset of
+        # N frames skips 2N records.
+        if offset_count < (2 * log_offset):
+            offset_count += 1
+            continue
 
-            json_data = json.loads(line)
-            frame_number = index // 2
-            if frame_number >= len(ground_truth):
-                ground_truth.append([])
+        frame_number = index // 2
+        if frame_number >= len(ground_truth):
+            ground_truth.append([])
 
-            # Gap repair: the logger occasionally drops frames; detect via
-            # num_frames_left jumps and repeat the latest frame.
-            diff = prev_num_frames_left - json_data["num_frames_left"]
-            if prev_num_frames_left > 0 and diff > 1:
-                repeated_logs = [ground_truth[-1]] * (diff - 1)
-                ground_truth += repeated_logs
-                index += (diff - 1) * 2
+        # Gap repair: the logger occasionally drops frames; detect via
+        # num_frames_left jumps and repeat the latest frame.
+        diff = prev_num_frames_left - json_data["num_frames_left"]
+        if prev_num_frames_left > 0 and diff > 1:
+            repeated_logs = [ground_truth[-1]] * (diff - 1)
+            ground_truth += repeated_logs
+            index += (diff - 1) * 2
 
-            ground_truth[frame_number].append(json_data)
-            index += 1
-            prev_num_frames_left = json_data["num_frames_left"]
+        ground_truth[frame_number].append(json_data)
+        index += 1
+        prev_num_frames_left = json_data["num_frames_left"]
 
     # Renumber fighter ids to 0/1 in on-screen order (ids in the raw log can
     # be e.g. 0 and 4).
