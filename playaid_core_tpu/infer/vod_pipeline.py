@@ -171,6 +171,28 @@ class BoundedSegmentDecoder:
             yield item
 
 
+def boxes_from_log(label_path, num_frames=None, log_offset=0):
+    """Per-frame two-fighter boxes [F, 2, 4] from an ult_logger log via
+    batched camera projection (no detector needed)."""
+    from playaid_core_tpu.timeline import (
+        load_ground_truth_from_path,
+        precompute_timeline_projection,
+        update_fighters_from_timeline,
+    )
+
+    timeline = load_ground_truth_from_path(label_path, log_offset=log_offset)
+    precompute_timeline_projection(timeline)
+    f_total = len(timeline) if num_frames is None else min(num_frames, len(timeline))
+    boxes = np.zeros((f_total, 2, 4), np.float32)
+    fighters = []
+    for i in range(f_total):
+        fighters = update_fighters_from_timeline(i, timeline[i], fighters)
+        for k, fighter in enumerate(fighters[:2]):
+            c = fighter.crop
+            boxes[i, k] = (c.center_x, c.center_y, c.crop_width, c.crop_height)
+    return boxes
+
+
 class VodAnalyzer:
     """Analyze a VOD: per-frame action labels for both fighters."""
 
@@ -273,3 +295,41 @@ class VodAnalyzer:
             "seconds": elapsed,
             "fps": decoded / elapsed if elapsed > 0 else 0.0,
         }
+
+
+def main():
+    import click
+
+    @click.command()
+    @click.option("--video", "-v", required=True, help="Path to the VOD")
+    @click.option("--log", "-l", "log_path", required=True, help="ult_logger log path")
+    @click.option("--family", default="cnn", type=click.Choice(["cnn", "resformer"]))
+    @click.option("--frames", default=None, type=int, help="limit analyzed frames")
+    @click.option("--out", "-o", default=None, help="write labels CSV here")
+    def analyze_vod(video, log_path, family, frames, out):
+        """Batched TPU action recognition over a full VOD, with fighter
+        boxes projected from the log (detection-free)."""
+        from playaid_core_tpu.ontology import CLASS_ID_TO_MOVE
+
+        boxes = boxes_from_log(log_path, num_frames=frames)
+        analyzer = VodAnalyzer(BatchedActionPipeline(family=family))
+        result = analyzer.analyze(video, boxes)
+        print(f"{result['frames']} frames in {result['seconds']:.2f}s "
+              f"({result['fps']:.1f} fps)")
+        if out:
+            with open(out, "w") as f:
+                f.write("frame,p0_action,p0_conf,p1_action,p1_conf\n")
+                for i in range(result["frames"]):
+                    l0, l1 = result["labels"][i]
+                    c0, c1 = result["confidences"][i]
+                    f.write(
+                        f"{i},{CLASS_ID_TO_MOVE.get(int(l0), l0)},{c0:.2f},"
+                        f"{CLASS_ID_TO_MOVE.get(int(l1), l1)},{c1:.2f}\n"
+                    )
+            print(f"wrote {out}")
+
+    analyze_vod()
+
+
+if __name__ == "__main__":
+    main()

@@ -36,10 +36,13 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         residual = x
-        y = self.conv(self.filters, (3, 3), (self.strides, self.strides))(x)
+        # Explicit symmetric padding: SAME differs from torch's padding=1
+        # on stride-2 convs, which would break converted-weight parity.
+        pad = [(1, 1), (1, 1)]
+        y = self.conv(self.filters, (3, 3), (self.strides, self.strides), padding=pad)(x)
         y = self.norm()(y)
         y = nn.relu(y)
-        y = self.conv(self.filters, (3, 3))(y)
+        y = self.conv(self.filters, (3, 3), padding=pad)(y)
         y = self.norm(scale_init=nn.initializers.zeros_init())(y)
 
         if residual.shape != y.shape:
@@ -63,7 +66,9 @@ class BottleneckBlock(nn.Module):
         y = self.conv(self.filters, (1, 1))(x)
         y = self.norm()(y)
         y = nn.relu(y)
-        y = self.conv(self.filters, (3, 3), (self.strides, self.strides))(y)
+        # Explicit padding: see BasicBlock.
+        y = self.conv(self.filters, (3, 3), (self.strides, self.strides),
+                      padding=[(1, 1), (1, 1)])(y)
         y = self.norm()(y)
         y = nn.relu(y)
         y = self.conv(self.filters * 4, (1, 1))(y)

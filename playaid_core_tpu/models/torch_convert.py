@@ -1,0 +1,146 @@
+"""Torch -> Flax weight conversion.
+
+The reference's checkpoints are torch/torchvision state dicts
+(reference: models/cnn_action_detector.py:16, ai_runner.py:164).  Parity
+with externally-trained weights means mapping those tensors into this
+framework's Flax parameter trees.  Covered:
+
+* torchvision-style ResNet-18/34/50 state dicts ->
+  :class:`playaid_core_tpu.models.resnet.ResNet` params/batch_stats;
+* the CNN family's temporal head (Conv1d(kernel=T) + MLP,
+  reference: models/cnn_action_detector.py:22-27) -> the equivalent
+  dense-over-flattened-time parameters.
+
+Conventions: torch conv weights [out, in, kh, kw] -> flax [kh, kw, in,
+out]; linear [out, in] -> [in, out]; BatchNorm weight/bias ->
+scale/bias with running stats into ``batch_stats``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _t(x):
+    return np.asarray(x)
+
+
+def _conv(w):
+    return _t(w).transpose(2, 3, 1, 0)
+
+
+def _linear(w):
+    return _t(w).transpose(1, 0)
+
+
+def convert_resnet_state_dict(state_dict, stage_sizes, bottleneck):
+    """torchvision ResNet state dict -> (params, batch_stats) dicts for
+    :class:`playaid_core_tpu.models.resnet.ResNet`."""
+    params = {}
+    stats = {}
+
+    def put_bn(flax_name, torch_prefix):
+        params[flax_name] = {
+            "scale": _t(state_dict[f"{torch_prefix}.weight"]),
+            "bias": _t(state_dict[f"{torch_prefix}.bias"]),
+        }
+        stats[flax_name] = {
+            "mean": _t(state_dict[f"{torch_prefix}.running_mean"]),
+            "var": _t(state_dict[f"{torch_prefix}.running_var"]),
+        }
+
+    params["conv_init"] = {"kernel": _conv(state_dict["conv1.weight"])}
+    put_bn("bn_init", "bn1")
+
+    block_cls = "BottleneckBlock" if bottleneck else "BasicBlock"
+    convs_per_block = 3 if bottleneck else 2
+    flat_idx = 0
+    for stage, num_blocks in enumerate(stage_sizes):
+        for block in range(num_blocks):
+            tp = f"layer{stage + 1}.{block}"
+            name = f"{block_cls}_{flat_idx}"
+            block_params = {}
+            block_stats = {}
+            for c in range(convs_per_block):
+                block_params[f"Conv_{c}"] = {
+                    "kernel": _conv(state_dict[f"{tp}.conv{c + 1}.weight"])
+                }
+                block_params[f"BatchNorm_{c}"] = {
+                    "scale": _t(state_dict[f"{tp}.bn{c + 1}.weight"]),
+                    "bias": _t(state_dict[f"{tp}.bn{c + 1}.bias"]),
+                }
+                block_stats[f"BatchNorm_{c}"] = {
+                    "mean": _t(state_dict[f"{tp}.bn{c + 1}.running_mean"]),
+                    "var": _t(state_dict[f"{tp}.bn{c + 1}.running_var"]),
+                }
+            if f"{tp}.downsample.0.weight" in state_dict:
+                block_params["conv_proj"] = {
+                    "kernel": _conv(state_dict[f"{tp}.downsample.0.weight"])
+                }
+                block_params["norm_proj"] = {
+                    "scale": _t(state_dict[f"{tp}.downsample.1.weight"]),
+                    "bias": _t(state_dict[f"{tp}.downsample.1.bias"]),
+                }
+                block_stats["norm_proj"] = {
+                    "mean": _t(state_dict[f"{tp}.downsample.1.running_mean"]),
+                    "var": _t(state_dict[f"{tp}.downsample.1.running_var"]),
+                }
+            params[name] = block_params
+            stats[name] = block_stats
+            flat_idx += 1
+
+    if "fc.weight" in state_dict:
+        params["head"] = {
+            "kernel": _linear(state_dict["fc.weight"]),
+            "bias": _t(state_dict["fc.bias"]),
+        }
+    return params, stats
+
+
+def convert_temporal_conv1d(conv_weight, conv_bias):
+    """torch Conv1d(F -> H, kernel=T) over [B, F, T] -> dense kernel over
+    the t-major flattened [B, T*F] features.
+
+    torch: out[b, h] = sum_f sum_t w[h, f, t] * x[b, f, t] + b[h]
+    flax:  out[b, h] = sum_k kernel[k, h] * flat[b, k],  k = t * F + f
+    """
+    w = _t(conv_weight)  # [H, F, T]
+    h, f, t = w.shape
+    kernel = w.transpose(2, 1, 0).reshape(t * f, h)
+    return kernel, _t(conv_bias)
+
+
+def convert_cnn_action_detector(state_dict, sequence_length):
+    """Reference CNNActionDetector state dict -> params/batch_stats for
+    :class:`playaid_core_tpu.models.cnn_action_detector.CNNActionDetector`.
+
+    Expects the reference's module names (model.cnn2d.* for the resnet,
+    model.cnn1d.0.* for the temporal conv, model.classifier.{0,2}.* for
+    the MLP — reference: models/cnn_action_detector.py:16-27).
+    """
+    resnet_sd = {
+        k[len("model.cnn2d."):]: v for k, v in state_dict.items()
+        if k.startswith("model.cnn2d.")
+    }
+    resnet_params, resnet_stats = convert_resnet_state_dict(
+        resnet_sd, stage_sizes=[2, 2, 2, 2], bottleneck=False
+    )
+
+    kernel, bias = convert_temporal_conv1d(
+        state_dict["model.cnn1d.0.weight"], state_dict["model.cnn1d.0.bias"]
+    )
+    inner_params = {
+        "ResNet_0": resnet_params,
+        "temporal_dense": {"kernel": kernel, "bias": bias},
+        "mlp_hidden": {
+            "kernel": _linear(state_dict["model.classifier.0.weight"]),
+            "bias": _t(state_dict["model.classifier.0.bias"]),
+        },
+        "classifier": {
+            "kernel": _linear(state_dict["model.classifier.2.weight"]),
+            "bias": _t(state_dict["model.classifier.2.bias"]),
+        },
+    }
+    params = {"model": inner_params}
+    batch_stats = {"model": {"ResNet_0": resnet_stats}}
+    return {"params": params, "batch_stats": batch_stats}
