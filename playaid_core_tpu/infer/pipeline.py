@@ -113,6 +113,43 @@ class ResFormerTemporalHead(nn.Module):
         return jax.nn.log_softmax(logits.astype(jnp.float32), axis=2)
 
 
+class RNNEmbed(nn.Module):
+    """ResNet-18 trunk + 300-d projection of the RNN family
+    (reference: models/rnn_action_detector.py:53-54)."""
+
+    encoder_features: int = 300
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, crops, train: bool = False):
+        feats = make_resnet("resnet18", num_classes=0, dtype=self.dtype)(crops, train=train)
+        return nn.Dense(self.encoder_features, dtype=self.dtype, name="encoder_proj")(feats)
+
+
+class RNNTemporalHead(nn.Module):
+    """3-layer LSTM + MLP decoder over a window of embeddings, per-step
+    log-probs out (reference: models/rnn_action_detector.py:61-95)."""
+
+    num_actions: int
+    hidden_size: int = 512
+    num_layers: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, window_feats):
+        from playaid_core_tpu.models.rnn_action_detector import StackedLSTM
+
+        b, t = window_feats.shape[0], window_feats.shape[1]
+        hidden = StackedLSTM(self.hidden_size, self.num_layers, name="lstm")(window_feats)
+        y = hidden.reshape(b * t, self.hidden_size)
+        y = nn.Dense(128, dtype=self.dtype, name="decoder_hidden")(y)
+        y = nn.relu(y)
+        y = nn.Dense(self.num_actions, dtype=self.dtype, name="decoder_out")(y)
+        return jax.nn.log_softmax(y.astype(jnp.float32), axis=1).reshape(
+            b, t, self.num_actions
+        )
+
+
 class BatchedActionPipeline:
     """Fused preprocess -> embed-once -> window-gather -> classify.
 
@@ -122,7 +159,7 @@ class BatchedActionPipeline:
 
     def __init__(self, family="cnn", num_actions=63, sequence_length=7, frame_delta=3,
                  crop_size=128, dtype=jnp.float32):
-        assert family in ("cnn", "resformer")
+        assert family in ("cnn", "resformer", "rnn")
         self.family = family
         self.num_actions = num_actions
         self.sequence_length = sequence_length
@@ -132,6 +169,9 @@ class BatchedActionPipeline:
         if family == "cnn":
             self.embed = CNNEmbed(dtype=dtype)
             self.head = CNNTemporalHead(num_actions, sequence_length, dtype=dtype)
+        elif family == "rnn":
+            self.embed = RNNEmbed(dtype=dtype)
+            self.head = RNNTemporalHead(num_actions, dtype=dtype)
         else:
             self.embed = ResFormerEmbed(dtype=dtype)
             self.head = ResFormerTemporalHead(num_actions, sequence_length, dtype=dtype)
@@ -149,17 +189,22 @@ class BatchedActionPipeline:
 
     def _head_apply(self, variables, windows):
         out = self.head.apply(variables, windows)
-        if self.family == "resformer":
+        if self.family in ("resformer", "rnn"):
             # Per-timestep output: take the center step's prediction for the
             # per-frame label, like consuming the window's middle frame.
             out = out[:, self.sequence_length // 2, :]
         return out
 
+    @property
+    def embed_dim(self):
+        return {"cnn": 1000, "resformer": 247, "rnn": 300}[self.family]
+
     def init(self, rng):
         crops = jnp.zeros((1, self.crop_size, self.crop_size, 3), jnp.float32)
         embed_vars = self.embed.init(rng, crops)
-        dim = 1000 if self.family == "cnn" else 247
-        head_vars = self.head.init(rng, jnp.zeros((1, self.sequence_length, dim)))
+        head_vars = self.head.init(
+            rng, jnp.zeros((1, self.sequence_length, self.embed_dim))
+        )
         return {"embed": embed_vars, "head": head_vars}
 
     def embed_crops(self, variables, crops):

@@ -168,6 +168,9 @@ class UltActionRecogDataset:
         gt_root_test=None,
         stages_dir=None,
         clean_char_dir=None,
+        manual_ground_truth_csv=None,
+        manual_ground_truth_video=None,
+        manual_split="train",
     ):
         self.split = split
         self.num_samples = num_samples
@@ -206,12 +209,38 @@ class UltActionRecogDataset:
             gt_root_test or constants.ACTION_GROUND_TRUTH_TEST, self.characters
         )
 
+        # Manually-annotated clip labels (reference:
+        # ult_action_dataset.py:207-225, :512-559): a CSV of
+        # (frame, fighter, action, cx, cy, w, h) rows over one video,
+        # thirds-split into train/val/test by line number.
+        self.manual_ground_truth_video = (
+            manual_ground_truth_video or constants.GROUND_TRUTH_VIDEO
+        )
+        self.manual_labels, self.manual_action_to_frames = ({}, {})
+        if manual_ground_truth_csv and os.path.exists(manual_ground_truth_csv):
+            with open(manual_ground_truth_csv) as f:
+                num_lines = len(f.readlines())
+            thirds = {
+                "train": range(2, num_lines // 3 + 1),
+                "validation": range(num_lines // 3 + 1, num_lines // 3 * 2 + 1),
+                "test": range(num_lines // 3 * 2 + 1, num_lines + 1),
+            }
+            self.manual_labels, self.manual_action_to_frames = (
+                self.load_ground_truth_labels(
+                    manual_ground_truth_csv, set(thirds[manual_split])
+                )
+            )
+
     def __len__(self):
         return self.num_samples
 
     def __getitem__(self, idx):
         if self.split == "synth":
             return self.get_synth(idx)
+        if self.split == "simple":
+            return self.simple_dataset(idx)
+        if self.split == "manual":
+            return self.manual_ground_truth(idx)
         if self.split == "train":
             return self.ground_truth(self.training_video_to_sample, self.training_move_to_frame)
         elif self.split == "validation":
@@ -358,6 +387,118 @@ class UltActionRecogDataset:
         anim_label = np.asarray([self._label_id(a) for a in clip_actions], dtype=np.int32)
         meta = {"char": char, "frame_paths": clip_paths, "actions": clip_actions}
         return input_frames, np.int32(char_label), anim_label, meta
+
+    def simple_dataset(self, idx):
+        """Two-class RNN sanity set (reference: ult_action_dataset.py:373-427):
+        alternating windows of two moves with a stray center frame, so a
+        temporal model must use context to classify the middle frame."""
+        char = next(iter(self.char_anim_dict))
+        moves = sorted(self.char_anim_dict[char].keys())
+        if len(moves) < 2:
+            raise RuntimeError("simple mode needs >= 2 moves of sprite assets")
+
+        def frames_for(move):
+            body = self.char_anim_dict[char][move]
+            bt = sorted(body.keys())[0]
+            anim = sorted(body[bt].keys())[0]
+            cam = sorted(body[bt][anim].keys())[0]
+            return body[bt][anim][cam]
+
+        a_frames, b_frames = frames_for(moves[0]), frames_for(moves[1])
+        center = a_frames[len(a_frames) // 2]
+        picked_move = moves[0] if idx % 2 else moves[1]
+        source = a_frames if idx % 2 else b_frames
+        batch = [source[0], center, source[-1]]
+        actions = [picked_move] * 3
+
+        stage = Image.open(self.stage_paths[0]).convert("RGB")
+        stage_cropped = stage.crop((0, 0, self.img_dimension, self.img_dimension))
+        frames = [
+            np.array(load_and_composite_sprite(p, stage_cropped, 0, self.rng))
+            for p in batch
+        ]
+        input_frames = np.asarray(frames, dtype=np.float32) / 255.0
+        anim_label = np.asarray([self._label_id(a) for a in actions], dtype=np.int32)
+        char_id = np.int32(self.characters.index(char) if char in self.characters else 0)
+        return input_frames, char_id, anim_label, {"char": char, "actions": actions}
+
+    @staticmethod
+    def load_ground_truth_labels(csv_path, line_numbers):
+        """Parse the manual-annotation CSV rows whose 1-based line numbers
+        are in ``line_numbers`` (reference: ult_action_dataset.py:512-559)."""
+        import csv as _csv
+        from collections import defaultdict
+
+        labels = defaultdict(dict)
+        action_to_frames = {}
+        with open(csv_path) as f:
+            reader = _csv.reader(f)
+            for row in reader:
+                if reader.line_num == 1 or reader.line_num not in line_numbers:
+                    continue
+                frame_num = int(row[0])
+                fighter_name = row[1]
+                action = row[2]
+                cx, cy, w, h = (float(v) for v in row[3:7])
+                labels[fighter_name][frame_num] = (
+                    frame_num, fighter_name, action, cx, cy, w, h,
+                )
+                action_to_frames.setdefault(fighter_name, defaultdict(list))[
+                    action
+                ].append(frame_num)
+        return dict(labels), {k: dict(v) for k, v in action_to_frames.items()}
+
+    def manual_ground_truth(self, idx):
+        """Samples from the manually-annotated clip (reference:
+        ult_action_dataset.py:429-510): trailing-window frame sampling,
+        crops cut live from the source video."""
+        if not self.manual_action_to_frames:
+            raise RuntimeError("manual mode needs manual_ground_truth_csv")
+        from playaid_core_tpu.geometry import YoloCrop
+        from playaid_core_tpu.video.reader import VideoReader
+
+        rng = self.rng
+        fighter_name = rng.choice(sorted(self.manual_action_to_frames.keys()))
+        candidates = [
+            a for a, frames in self.manual_action_to_frames[fighter_name].items()
+            if a != "Unknown" and frames
+        ]
+        selected_action = rng.choice(sorted(candidates))
+        frames_for_action = self.manual_action_to_frames[fighter_name][selected_action]
+        last_frame = frames_for_action[int(rng.integers(0, len(frames_for_action)))]
+
+        valid = sorted(self.manual_labels[fighter_name].keys())
+        # Trailing-window sampler (reference: dataset_utils.py:76-106).
+        frame_nums = []
+        delta = int(rng.choice(self.frame_deltas))
+        for i in range(0, self.num_frames_per_sample * delta, delta):
+            cand = last_frame - i
+            frame_nums.append(cand if cand in valid else frame_nums[-1] if frame_nums
+                              else last_frame)
+        frame_nums.reverse()
+
+        reader = VideoReader(self.manual_ground_truth_video)
+        frames, actions = [], []
+        for fn in frame_nums:
+            ok, frame = reader.read_at(fn)
+            assert ok, f"requested invalid frame {fn} from ground truth"
+            frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            _, _, action, cx, cy, w, h = self.manual_labels[fighter_name][fn]
+            ok, crop = YoloCrop(cx, cy, w, h).square_crop(frame, self.crop_size)
+            frames.append(crop)
+            actions.append(action)
+        reader.release()
+
+        input_frames = np.asarray(frames, dtype=np.float32) / 255.0
+        anim_label = np.asarray([self._label_id(a) for a in actions], dtype=np.int32)
+        char_id = np.int32(
+            self.characters.index(fighter_name) if fighter_name in self.characters else 0
+        )
+        return input_frames, char_id, anim_label, {
+            "char": fighter_name,
+            "actions": actions,
+            "frame_nums": frame_nums,
+        }
 
     # ---------------- curriculum hooks (reference: :561-567) ----------------
 
