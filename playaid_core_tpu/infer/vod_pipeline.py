@@ -98,7 +98,7 @@ class BoundedSegmentDecoder:
     host transform in the worker, and emit ordered chunks through a
     bounded buffer (at most ``ahead`` chunks in flight)."""
 
-    def __init__(self, path, num_frames, chunk, transform, workers=None, ahead=3,
+    def __init__(self, path, num_frames, chunk, transform, workers=None, ahead=6,
                  collate=None):
         import cv2
 

@@ -71,13 +71,26 @@ class ResFormer(nn.Module):
     num_layers: int = 3
     num_freq: int = 4
     dtype: Any = jnp.float32
+    # Rematerialise the ResNet trunk in the backward pass: trades ~30%
+    # FLOPs for the dominant activation memory, letting the per-chip batch
+    # grow (jax.checkpoint; the reference had no such lever).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, frames, train: bool = False):
         """frames: [B, T, H, W, 3] -> [B, T, num_actions] logits."""
         b, t = frames.shape[0], frames.shape[1]
         x = frames.reshape((b * t,) + frames.shape[2:])
-        cnn_features = make_resnet("resnet50", num_classes=0, dtype=self.dtype)(x, train=train)
+        resnet_cls = make_resnet("resnet50", num_classes=0, dtype=self.dtype)
+        if self.remat:
+            cnn_features = nn.remat(type(resnet_cls), static_argnums=(2,))(
+                stage_sizes=resnet_cls.stage_sizes,
+                block_cls=resnet_cls.block_cls,
+                num_classes=0,
+                dtype=self.dtype,
+            )(x, train)
+        else:
+            cnn_features = resnet_cls(x, train=train)
         feats = nn.Dense(self.hidden_dim, dtype=self.dtype, name="resnet_ffn")(cnn_features)
         feats = feats.reshape(b, t, self.hidden_dim)
 
