@@ -315,7 +315,48 @@ class BatchedActionPipeline:
             frames_u8, boxes, out_size=self.crop_size, padding=padding, bgr_to_rgb=True
         )
 
-    def monolithic_variables(self, variables):
-        """Adapt split {embed, head} params into the monolithic model
-        modules' layout for checkpoint interchange."""
-        return variables
+    def from_monolithic(self, variables):
+        """Map a trained monolithic model checkpoint
+        (:mod:`playaid_core_tpu.models` / :mod:`playaid_core_tpu.train`)
+        into this pipeline's split {embed, head} variable trees, so VOD
+        inference runs with trained weights unchanged."""
+        params = variables["params"]
+        stats = variables.get("batch_stats") or {}
+        if self.family == "cnn":
+            inner_p = params["model"]
+            inner_s = stats.get("model", {})
+            embed = {
+                "params": {"cnn2d": inner_p["ResNet_0"]},
+                "batch_stats": {"cnn2d": inner_s.get("ResNet_0", {})},
+            }
+            head = {
+                "params": {
+                    k: inner_p[k] for k in ("temporal_dense", "mlp_hidden", "classifier")
+                }
+            }
+        elif self.family == "rnn":
+            embed = {
+                "params": {
+                    "ResNet_0": params["ResNet_0"],
+                    "encoder_proj": params["encoder_proj"],
+                },
+                "batch_stats": {"ResNet_0": stats.get("ResNet_0", {})},
+            }
+            head = {
+                "params": {
+                    k: params[k] for k in ("lstm", "decoder_hidden", "decoder_out")
+                }
+            }
+        else:  # resformer
+            inner_p = params["model"]
+            inner_s = stats.get("model", {})
+            embed = {
+                "params": {
+                    "ResNet_0": inner_p["ResNet_0"],
+                    "resnet_ffn": inner_p["resnet_ffn"],
+                },
+                "batch_stats": {"ResNet_0": inner_s.get("ResNet_0", {})},
+            }
+            head_keys = [k for k in inner_p if k.startswith("layer_")] + ["classifier"]
+            head = {"params": {k: inner_p[k] for k in head_keys}}
+        return {"embed": embed, "head": head}

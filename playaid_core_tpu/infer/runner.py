@@ -291,10 +291,17 @@ class AIRunner:
             labels = np.asarray(labels)
             conf = np.asarray(conf)
 
+            last_crop = None
             for pos, frame_num in enumerate(frame_nums):
                 crop = read_fighter_yolo_crop(self.get_label_path(frame_num), fighter)
+                # Tail-filled frames have crops but no label entry; carry the
+                # last known crop forward (the reference wrote the string
+                # "None" here and crashed downstream, ai_runner.py:478-518).
+                crop = crop or last_crop
+                last_crop = crop
                 frame_data = self.ai_output_data[fighter][frame_num - 1]
-                frame_data.crop = str(crop)
+                if crop is not None:
+                    frame_data.crop = str(crop)
                 frame_data.action = self.actions[int(labels[pos])]
                 frame_data.predicted_action_confidence = float(conf[pos])
 

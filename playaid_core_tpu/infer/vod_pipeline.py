@@ -198,13 +198,18 @@ class VodAnalyzer:
 
     def __init__(self, pipeline: BatchedActionPipeline | None = None, variables=None,
                  window=384, padding=30, chunk=48, decode_workers=None,
-                 host_resize=True):
+                 host_resize=True, mesh=None):
         self.pipeline = pipeline or BatchedActionPipeline(family="cnn")
         self.variables = variables
         self.window = window
         self.padding = padding
         self.chunk = chunk
         self.decode_workers = decode_workers
+        # Optional jax.sharding.Mesh: chunk batches shard over its 'data'
+        # axis (weights replicated), so embedding fans out across chips
+        # with XLA inserting the collectives.  chunk*2 must divide by the
+        # data-axis size.
+        self.mesh = mesh
         # host_resize: crops are resized to model resolution in the decode
         # workers and shipped as uint8 (98 KB/frame) — right for few-core
         # hosts and tunneled devices, where link serialization costs CPU.
@@ -262,6 +267,17 @@ class VodAnalyzer:
                     origins[j] = o
                 return n, wins, origins
 
+        batch_sharding = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch_sharding = NamedSharding(self.mesh, P("data"))
+
+        def to_device(arr):
+            if batch_sharding is not None:
+                return jax.device_put(arr, batch_sharding)
+            return arr
+
         t0 = time.time()
         embeddings = []
         decoded = 0
@@ -270,23 +286,29 @@ class VodAnalyzer:
             collate=collate,
         )
         n_last = self.chunk
-        for start, (n, wins, origins) in decoder:
-            if n == 0:
-                continue
-            if self.host_resize:
-                flat = wins.reshape((chunk * 2,) + wins.shape[2:])
-                embeddings.append(
-                    self.pipeline.embed_crops_u8(self.variables, flat)
-                )
-            else:
-                embeddings.append(self._resize_embed(wins, origins))
-            decoded += n
-            n_last = n
+        import contextlib
 
-        # One fused device program for concat + window gather + both
-        # fighters' classification, then a single device->host readback.
-        labels, conf = self.pipeline.classify_chunked(self.variables, embeddings, n_last)
-        labels, conf = jax.device_get((labels, conf))
+        mesh_ctx = self.mesh if self.mesh is not None else contextlib.nullcontext()
+        with mesh_ctx:
+            for start, (n, wins, origins) in decoder:
+                if n == 0:
+                    continue
+                if self.host_resize:
+                    flat = wins.reshape((chunk * 2,) + wins.shape[2:])
+                    embeddings.append(
+                        self.pipeline.embed_crops_u8(self.variables, to_device(flat))
+                    )
+                else:
+                    embeddings.append(self._resize_embed(wins, origins))
+                decoded += n
+                n_last = n
+
+            # One fused device program for concat + window gather + both
+            # fighters' classification, then a single device->host readback.
+            labels, conf = self.pipeline.classify_chunked(
+                self.variables, embeddings, n_last
+            )
+            labels, conf = jax.device_get((labels, conf))
         elapsed = time.time() - t0
         return {
             "labels": np.asarray(labels),        # [F, 2]

@@ -110,6 +110,89 @@ def convert_temporal_conv1d(conv_weight, conv_bias):
     return kernel, _t(conv_bias)
 
 
+def convert_transformer_encoder_layer(state_dict, prefix, d_model, num_heads):
+    """torch nn.TransformerEncoderLayer params -> flax
+    TransformerEncoderLayer (models/resnet_transformer.py) params."""
+    head_dim = d_model // num_heads
+    in_w = _t(state_dict[f"{prefix}.self_attn.in_proj_weight"])  # [3E, E]
+    in_b = _t(state_dict[f"{prefix}.self_attn.in_proj_bias"])  # [3E]
+    out_w = _t(state_dict[f"{prefix}.self_attn.out_proj.weight"])  # [E, E]
+    out_b = _t(state_dict[f"{prefix}.self_attn.out_proj.bias"])
+
+    def qkv(idx):
+        w = in_w[idx * d_model : (idx + 1) * d_model]  # [E, E] (out, in)
+        b = in_b[idx * d_model : (idx + 1) * d_model]
+        return {
+            "kernel": w.transpose(1, 0).reshape(d_model, num_heads, head_dim),
+            "bias": b.reshape(num_heads, head_dim),
+        }
+
+    return {
+        "self_attn": {
+            "query": qkv(0),
+            "key": qkv(1),
+            "value": qkv(2),
+            "out": {
+                # flax out kernel: [heads, head_dim, E]; torch [E_out, E_in].
+                "kernel": out_w.transpose(1, 0).reshape(num_heads, head_dim, d_model),
+                "bias": out_b,
+            },
+        },
+        "norm1": {
+            "scale": _t(state_dict[f"{prefix}.norm1.weight"]),
+            "bias": _t(state_dict[f"{prefix}.norm1.bias"]),
+        },
+        "norm2": {
+            "scale": _t(state_dict[f"{prefix}.norm2.weight"]),
+            "bias": _t(state_dict[f"{prefix}.norm2.bias"]),
+        },
+        "ffn_in": {
+            "kernel": _linear(state_dict[f"{prefix}.linear1.weight"]),
+            "bias": _t(state_dict[f"{prefix}.linear1.bias"]),
+        },
+        "ffn_out": {
+            "kernel": _linear(state_dict[f"{prefix}.linear2.weight"]),
+            "bias": _t(state_dict[f"{prefix}.linear2.bias"]),
+        },
+    }
+
+
+def convert_resformer_detector(state_dict, num_layers=3, d_model=256, num_heads=8):
+    """Reference ResnetTransformerDetector state dict -> variables for
+    :class:`playaid_core_tpu.models.resnet_transformer.ResnetTransformerDetector`.
+
+    Expects the reference's module names: model.resnet.* (timm resnet50,
+    num_classes=0), model.resnet_ffn.*, model.transformer.layers.N.*,
+    model.classifier.* (reference: models/resnet_transformer_detector.py:25-93).
+    """
+    resnet_sd = {
+        k[len("model.resnet."):]: v for k, v in state_dict.items()
+        if k.startswith("model.resnet.")
+    }
+    resnet_params, resnet_stats = convert_resnet_state_dict(
+        resnet_sd, stage_sizes=[3, 4, 6, 3], bottleneck=True
+    )
+    inner = {
+        "ResNet_0": resnet_params,
+        "resnet_ffn": {
+            "kernel": _linear(state_dict["model.resnet_ffn.weight"]),
+            "bias": _t(state_dict["model.resnet_ffn.bias"]),
+        },
+        "classifier": {
+            "kernel": _linear(state_dict["model.classifier.weight"]),
+            "bias": _t(state_dict["model.classifier.bias"]),
+        },
+    }
+    for i in range(num_layers):
+        inner[f"layer_{i}"] = convert_transformer_encoder_layer(
+            state_dict, f"model.transformer.layers.{i}", d_model, num_heads
+        )
+    return {
+        "params": {"model": inner},
+        "batch_stats": {"model": {"ResNet_0": resnet_stats}},
+    }
+
+
 def convert_cnn_action_detector(state_dict, sequence_length):
     """Reference CNNActionDetector state dict -> params/batch_stats for
     :class:`playaid_core_tpu.models.cnn_action_detector.CNNActionDetector`.

@@ -227,19 +227,26 @@ def yield_interval_fighters_and_stats(stats, interval: int, video_path, label_pa
 
 def load_timeline_from_ai_output(
     file_path,
-    max_frames: int = 600,
+    max_frames: int | None = None,
     fighter_to_player_id=None,
 ):
     """Synthesise log-like records from an ``ai_output.yaml`` cache
-    (reference: timeline.py:52-105).  The reference hardcoded Joker/Pikachu
-    and 600 frames; both are configurable here.
+    (reference: timeline.py:52-105).  The reference hardcoded
+    Joker/Pikachu and 600 frames; here the fighters and frame count are
+    inferred from the cache when not given.
     """
     with open(file_path, "r") as f:
         ai_output = yaml.safe_load(f)
 
     if fighter_to_player_id is None:
-        fighter_to_player_id = {"Pikachu": 0, "Joker": 1}
+        names = sorted(ai_output.keys())[:2]
+        if set(names) == {"Joker", "Pikachu"}:
+            fighter_to_player_id = {"Pikachu": 0, "Joker": 1}
+        else:
+            fighter_to_player_id = {name: i for i, name in enumerate(names)}
     fighters = sorted(fighter_to_player_id, key=fighter_to_player_id.get, reverse=True)
+    if max_frames is None:
+        max_frames = min(len(ai_output[f]) for f in fighters)
 
     timeline = []
     for i in range(max_frames):

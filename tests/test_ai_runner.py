@@ -1,0 +1,166 @@
+"""AIRunner end-to-end: detector-output cleanup (duplicates, gaps, tail),
+batched recognition, ai_output.yaml, and Manuscript consuming it —
+SURVEY config #3 wired through on synthetic assets."""
+
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+import jax
+
+from playaid_core_tpu import constants
+from playaid_core_tpu.infer.pipeline import BatchedActionPipeline
+from playaid_core_tpu.infer.runner import AIRunner
+
+
+class FakeDetector:
+    """Writes a YOLOv5-style crops/labels cache with injected defects:
+    duplicate detections, missed frames, and a missing tail."""
+
+    def __init__(self, num_frames=20, size=(320, 180)):
+        self.num_frames = num_frames
+        self.size = size
+
+    def run(self, input_video_path, exp_name):
+        base = os.path.join(constants.AI_CACHE, exp_name)
+        crops = os.path.join(base, "crops")
+        labels = os.path.join(base, "labels")
+        if os.path.exists(crops):
+            return exp_name
+        video_name = os.path.splitext(os.path.basename(input_video_path))[0]
+        rng = np.random.default_rng(0)
+        for fighter in ("Pikachu", "Joker"):
+            os.makedirs(os.path.join(crops, fighter), exist_ok=True)
+        os.makedirs(labels, exist_ok=True)
+
+        for i in range(1, self.num_frames + 1):
+            lines = []
+            for class_id, fighter in ((2, "Pikachu"), (3, "Joker")):
+                # Pikachu misses frames 8-10 (gap); Joker misses the tail.
+                if fighter == "Pikachu" and 8 <= i <= 10:
+                    continue
+                if fighter == "Joker" and i > self.num_frames - 3:
+                    continue
+                cx = 0.3 + 0.02 * i if fighter == "Pikachu" else 0.7 - 0.02 * i
+                lines.append(f"{class_id} {cx} 0.5 0.2 0.3 0.9")
+                # Duplicate detection defect on frame 5 for Pikachu.
+                if fighter == "Pikachu" and i == 5:
+                    lines.append(f"{class_id} {cx + 0.3} 0.8 0.2 0.3 0.4")
+                crop = rng.integers(0, 255, (128, 128, 3), dtype=np.uint8)
+                cv2.imwrite(
+                    os.path.join(crops, fighter, f"{video_name}_{i}.jpg"), crop
+                )
+            with open(os.path.join(labels, f"{video_name}_{i}.txt"), "w") as f:
+                f.write("\n".join(lines) + ("\n" if lines else ""))
+        return exp_name
+
+
+@pytest.fixture(scope="module")
+def runner_env(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ai_runner")
+    video = d / "clip.mp4"
+    w = cv2.VideoWriter(str(video), cv2.VideoWriter_fourcc(*"mp4v"), 60, (320, 180))
+    for i in range(25):
+        w.write(np.full((180, 320, 3), 60 + i, np.uint8))
+    w.release()
+    return d, str(video)
+
+
+def _make_runner(d, video):
+    pipe = BatchedActionPipeline(family="cnn", num_actions=63, sequence_length=3,
+                                 frame_delta=1, crop_size=32)
+    return AIRunner(
+        input_video_path=video,
+        detector=FakeDetector(num_frames=20),
+        pipeline=pipe,
+    )
+
+
+def test_ai_runner_full_flow(runner_env, monkeypatch):
+    d, video = runner_env
+    monkeypatch.setattr(constants, "AI_CACHE", str(d / "ai_cache"))
+    runner = _make_runner(d, video)
+    runner.run_detection_setup()
+
+    # Gap interpolation: Pikachu frames 8-10 got synthesized labels+crops.
+    for i in (8, 9, 10):
+        from playaid_core_tpu.infer.detection import read_fighter_yolo_crop
+
+        crop = read_fighter_yolo_crop(runner.get_label_path(i), "Pikachu")
+        assert crop is not None, i
+        assert os.path.exists(runner.get_crop_path("Pikachu", i))
+
+    # Duplicate suppression: frame 5 has exactly one Pikachu entry.
+    from playaid_core_tpu.infer.detection import read_yolo_crops
+
+    crops5 = [c for c in read_yolo_crops(runner.get_label_path(5)) if c.class_id == 2]
+    assert len(crops5) == 1
+    # Nearest-to-previous kept (cx ~0.4, not the 0.7 outlier).
+    assert abs(crops5[0].center_x - 0.4) < 0.05
+
+    # Tail fill: Joker crops extend to the max frame.
+    assert os.path.exists(runner.get_crop_path("Joker", runner.max_frames - 1))
+
+    # Batched recognition + output cache.
+    runner.run_action_recognition()
+    runner.write_output()
+    assert os.path.exists(runner.ai_output_file)
+    data = runner.ai_output_data
+    fighters = sorted(data.keys())
+    assert set(fighters) == {"Joker", "Pikachu"}
+    frame0 = data["Pikachu"][0]
+    assert frame0.action in runner.actions
+    assert 0 <= frame0.predicted_action_confidence <= 100
+
+    # Idempotency: second call skips (action already cached).
+    before = dict(data["Pikachu"][0])
+    runner.run_action_recognition()
+    assert dict(runner.ai_output_data["Pikachu"][0]) == before
+
+
+def test_manuscript_consumes_ai_output(runner_env, monkeypatch, tmp_path):
+    d, video = runner_env
+    monkeypatch.setattr(constants, "AI_CACHE", str(d / "ai_cache"))
+    runner = _make_runner(d, video)
+    runner.run_detection_setup()
+    runner.run_action_recognition()
+    runner.write_output()
+
+    from playaid_core_tpu.pipeline.manuscript import Manuscript
+
+    out = str(tmp_path / "ai_annotated.mp4")
+    m = Manuscript(
+        input_video_path=video,
+        output_video_path=out,
+        ai_output_path=runner.ai_output_file,
+        skip_graphs=True,
+        skip_summaries=True,
+        include_audio=False,
+        progress=False,
+    )
+    m.render()
+    assert os.path.exists(out)
+    cap = cv2.VideoCapture(out)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) > 0
+    cap.release()
+
+
+def test_damage_ocr_stage(runner_env, monkeypatch):
+    d, video = runner_env
+    monkeypatch.setattr(constants, "AI_CACHE", str(d / "ai_cache"))
+    runner = _make_runner(d, video)
+    runner.run_detection_setup()
+
+    calls = []
+
+    def fake_ocr(crop):
+        calls.append(crop.shape)
+        return True, (42.0, "42", 0.9, {})
+
+    runner.run_damage_detection(ocr=fake_ocr)
+    assert len(calls) == 2 * runner.max_frames
+    assert runner.ai_output_data["Pikachu"][0].damage == 42.0
+    # Player-id map derived from detections: Pikachu (class 2) starts left.
+    assert runner.player_id_to_fighter[0] == "Pikachu"
