@@ -99,6 +99,90 @@ class ExternalYoloDetector:
         return exp_name
 
 
+class JaxCharacterDetector:
+    """In-framework character detector (CenterNet in Flax) producing the
+    same ``crops/``+``labels/`` cache layout as the reference's external
+    YOLOv5 subprocess (reference: ai_runner.py:191-224), making the
+    pixels-only path self-contained.
+
+    ``trainer``: a :class:`playaid_core_tpu.train.detector_train.DetectorTrainer`
+    holding trained weights (or restore one from an orbax checkpoint).
+    """
+
+    def __init__(self, trainer, char_list=None, score_threshold=0.3, max_det=4,
+                 crop_size=128, crop_padding=30, batch_size=16):
+        self.trainer = trainer
+        self.char_list = char_list or constants.CHAR_LIST
+        self.score_threshold = score_threshold
+        self.max_det = max_det
+        self.crop_size = crop_size
+        self.crop_padding = crop_padding
+        self.batch_size = batch_size
+
+    def run(self, input_video_path, exp_name):
+        import cv2
+        import numpy as np
+
+        from playaid_core_tpu.geometry import YoloCrop
+        from playaid_core_tpu.video.reader import VideoReader
+
+        base = os.path.join(constants.AI_CACHE, exp_name)
+        crops_dir = os.path.join(base, "crops")
+        labels_dir = os.path.join(base, "labels")
+        if os.path.exists(crops_dir):
+            return exp_name
+        os.makedirs(labels_dir, exist_ok=True)
+        video_name = os.path.splitext(os.path.basename(input_video_path))[0]
+
+        reader = VideoReader(input_video_path)
+        frames, indices = [], []
+
+        def flush():
+            if not frames:
+                return
+            batch = np.stack(frames)
+            rgb = batch[..., ::-1]
+            results = self.trainer.detect(
+                rgb, max_det=self.max_det, score_threshold=self.score_threshold
+            )
+            for img, frame_idx, dets in zip(batch, indices, results):
+                # YOLO numbering is 1-indexed.
+                label_path = os.path.join(labels_dir, f"{video_name}_{frame_idx + 1}.txt")
+                lines = []
+                seen_classes = set()
+                for class_id, score, box in dets:
+                    if class_id in seen_classes or not (0 <= class_id < len(self.char_list)):
+                        continue
+                    seen_classes.add(class_id)
+                    crop = YoloCrop(*box, confidence=score, class_id=class_id)
+                    lines.append(str(crop))
+                    fighter = self.char_list[class_id]
+                    fdir = os.path.join(crops_dir, fighter)
+                    os.makedirs(fdir, exist_ok=True)
+                    ok, crop_img = crop.square_crop(
+                        img, self.crop_size, padding=self.crop_padding
+                    )
+                    if ok:
+                        cv2.imwrite(
+                            os.path.join(fdir, f"{video_name}_{frame_idx + 1}.jpg"),
+                            crop_img,
+                        )
+                if lines:
+                    with open(label_path, "w") as f:
+                        f.write("\n".join(lines) + "\n")
+            frames.clear()
+            indices.clear()
+
+        for i, frame in reader.iter_frames():
+            frames.append(frame)
+            indices.append(i)
+            if len(frames) >= self.batch_size:
+                flush()
+        flush()
+        reader.release()
+        return exp_name
+
+
 class ProjectionDetector:
     """Detection-free crops from an ult_logger log via batched camera
     projection.  Returns per-frame {fighter_name: YoloCrop}."""

@@ -143,6 +143,10 @@ def run_demo(workdir, num_epochs=6, steps_per_epoch=24, batch_size=16, crop_size
         learning_rate=1e-3,
         num_samples=steps_per_epoch * batch_size,
         crop_size=crop_size,
+        # The demo sprites are color-coded; the difficulty-1 curriculum's
+        # full-range hue shift removes that cue and collapses accuracy, so
+        # pin the difficulty for this demonstration.
+        curriculum_threshold=1.1,
     )
     trainer = Trainer(config, dataset)
     trainer.init_state()
