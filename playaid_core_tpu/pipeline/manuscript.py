@@ -75,6 +75,7 @@ class Manuscript:
         show_anim_frame: bool = True,
         show_anim_state: bool = True,
         progress: bool = True,
+        profile: bool = False,
     ):
         self.stats = Stats(input_video_path)
         self.output_video_path = output_video_path
@@ -102,6 +103,12 @@ class Manuscript:
         self.show_anim_frame = show_anim_frame
         self.show_anim_state = show_anim_state
         self.progress = progress
+        # Per-stage wall-clock profile of the render loop (the reference
+        # had no profiling story, SURVEY §5).
+        from playaid_core_tpu.profiling import StageTimer
+
+        self.profile = profile
+        self.timer = StageTimer()
 
         # Motion hexes with no params_labels entry, reported once.
         self.unknown_hashes = set()
@@ -155,19 +162,26 @@ class Manuscript:
                     break
                 self.stats.record_frame(self.fighters)
 
+        timer = self.timer
         frames = self.reader.iter_frames(self.start_frame, self.max_frames)
-        for i, input_frame in tqdm(
-            frames,
-            total=self.max_frames - self.start_frame,
-            disable=not self.progress,
-            desc="render",
-        ):
+        pbar = tqdm(total=self.max_frames - self.start_frame,
+                    disable=not self.progress, desc="render")
+        while True:
+            with timer.stage("decode"):
+                item = next(frames, None)
+            if item is None:
+                break
+            i, input_frame = item
+            pbar.update(1)
             input_frame = cv2.cvtColor(input_frame, cv2.COLOR_BGR2RGBA)
             annotator.set_frame(input_frame, line_width=4, font_size=0.2, pil=False)
 
-            if not self.update_fighters_from_gt(i):
+            with timer.stage("state+stats"):
+                ok = self.update_fighters_from_gt(i)
+                if ok:
+                    self.stats.record_frame(self.fighters)
+            if not ok:
                 break
-            self.stats.record_frame(self.fighters)
 
             for j, fighter in enumerate(self.fighters):
                 if self.log_offset < 0 and i < abs(self.log_offset):
@@ -191,18 +205,24 @@ class Manuscript:
                     draw_box=False,
                 )
 
-            annotator.update_onscreen_charts(self.fighters, self.stats)
-            if show_stats:
-                annotator.update_offscreen_charts(self.fighters, self.stats)
+            with timer.stage("charts"):
+                annotator.update_onscreen_charts(self.fighters, self.stats)
+                if show_stats:
+                    annotator.update_offscreen_charts(self.fighters, self.stats)
 
             rendered_result = annotator.result()
-            annotator.write()
+            with timer.stage("encode"):
+                annotator.write()
 
             if self.image_debug:
                 os.makedirs(self.debug_output_dir, exist_ok=True)
                 cv2.imwrite(
                     os.path.join(self.debug_output_dir, f"{i}.png"), rendered_result
                 )
+
+        pbar.close()
+        if self.profile:
+            print("stage profile:", self.timer.report())
 
         if not self.skip_summaries and self.fighters:
             annotator.post_game_summaries(self.fighters, self.stats)
@@ -233,8 +253,9 @@ class Manuscript:
 @click.option("--log-path", "-l", default=None, help="Path to the input log")
 @click.option("--ai-output-path", "-ai", default=None, help="Path to cached ai output")
 @click.option("--output-path", "-o", default=None, help="Path to write annotated video")
+@click.option("--profile", is_flag=True, help="Print per-stage timing at the end")
 def run_manuscript(frames, skip_graphs, video_index, skip_summaries, show_timer,
-                   video_path, log_path, ai_output_path, output_path):
+                   video_path, log_path, ai_output_path, output_path, profile):
     """Entrypoint to Manuscript (reference: manuscript.py:293-385)."""
     if not video_index and not video_path:
         print("Must specify either --video-index or --video-path")
@@ -253,6 +274,7 @@ def run_manuscript(frames, skip_graphs, video_index, skip_summaries, show_timer,
         "include_audio": True,
         "skip_summaries": skip_summaries,
         "show_timer": show_timer,
+        "profile": profile,
     }
 
     if video_index:
