@@ -186,6 +186,10 @@ class BatchedActionPipeline:
         self._epilogue_jit = jax.jit(
             self._epilogue_impl, static_argnames=("n_last", "min_frame")
         )
+        self._scatter_jit = jax.jit(self._scatter_impl, donate_argnums=0)
+        self._classify_buffer_jit = jax.jit(
+            self._classify_buffer_impl, static_argnames=("min_frame",)
+        )
 
     def _head_apply(self, variables, windows):
         out = self.head.apply(variables, windows)
@@ -262,6 +266,46 @@ class BatchedActionPipeline:
         return self._epilogue_jit(
             variables["head"], tuple(emb_chunks), n_last, min_frame=min_frame
         )
+
+    # ---- scalable accumulation path (VOD-length independent programs) ----
+
+    def _scatter_impl(self, buf, emb_chunk, row_offset):
+        return jax.lax.dynamic_update_slice(buf, emb_chunk, (row_offset, 0))
+
+    def make_embedding_buffer(self, num_rows):
+        """Preallocated [num_rows, D] device buffer for chunk embeddings."""
+        return jnp.zeros((num_rows, self.embed_dim), jnp.float32)
+
+    def scatter_embeddings(self, buf, emb_chunk, row_offset):
+        """Write one chunk's [rows, D] embeddings at row_offset.  One
+        compiled program regardless of VOD length (the buffer is donated,
+        so accumulation is in-place on device)."""
+        return self._scatter_jit(buf, emb_chunk.astype(jnp.float32), row_offset)
+
+    def _classify_buffer_impl(self, head_vars, buf, true_len, min_frame):
+        """Windows + classification over an interleaved [F_pad*2, D]
+        buffer with true length true_len frames (dynamic — one program per
+        buffer size, not per VOD length)."""
+        f_pad = buf.shape[0] // 2
+        per_fighter = buf.reshape(f_pad, 2, -1)
+        idx = middle_out_frame_indices(
+            jnp.arange(f_pad), self.sequence_length, self.frame_delta,
+            jnp.maximum(true_len, 1), min_frame=min_frame,
+        )
+        windows = jnp.take(per_fighter, idx, axis=0)  # [F_pad, T, 2, D]
+        windows = jnp.transpose(windows, (0, 2, 1, 3)).reshape(
+            f_pad * 2, self.sequence_length, -1
+        )
+        log_probs = self._head_apply(head_vars, windows)
+        labels = jnp.argmax(log_probs, axis=-1).reshape(f_pad, 2)
+        conf = (jnp.exp(jnp.max(log_probs, axis=-1)) * 100.0).reshape(f_pad, 2)
+        return labels, conf
+
+    def classify_buffer(self, variables, buf, true_len, min_frame=0):
+        labels, conf = self._classify_buffer_jit(
+            variables["head"], buf, true_len, min_frame=min_frame
+        )
+        return labels[:true_len], conf[:true_len]
 
     def classify_sequence(self, variables, embeddings, min_frame=0, pad_bucket=4096):
         """embeddings [F, D] for consecutive frames -> per-frame

@@ -279,35 +279,37 @@ class VodAnalyzer:
             return arr
 
         t0 = time.time()
-        embeddings = []
         decoded = 0
         decoder = BoundedSegmentDecoder(
             video_path, f_total, self.chunk, transform, workers=self.decode_workers,
             collate=collate,
         )
-        n_last = self.chunk
         import contextlib
 
+        num_chunks = (f_total + chunk - 1) // chunk
         mesh_ctx = self.mesh if self.mesh is not None else contextlib.nullcontext()
         with mesh_ctx:
+            # Chunk embeddings accumulate into one preallocated device
+            # buffer via a single reusable scatter program, so program
+            # count and argument size stay constant regardless of VOD
+            # length (a chunk-tuple epilogue would grow with the video).
+            buf = self.pipeline.make_embedding_buffer(num_chunks * chunk * 2)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                buf = jax.device_put(buf, NamedSharding(self.mesh, P()))
             for start, (n, wins, origins) in decoder:
                 if n == 0:
                     continue
                 if self.host_resize:
                     flat = wins.reshape((chunk * 2,) + wins.shape[2:])
-                    embeddings.append(
-                        self.pipeline.embed_crops_u8(self.variables, to_device(flat))
-                    )
+                    emb = self.pipeline.embed_crops_u8(self.variables, to_device(flat))
                 else:
-                    embeddings.append(self._resize_embed(wins, origins))
+                    emb = self._resize_embed(wins, origins)
+                buf = self.pipeline.scatter_embeddings(buf, emb, start * 2)
                 decoded += n
-                n_last = n
 
-            # One fused device program for concat + window gather + both
-            # fighters' classification, then a single device->host readback.
-            labels, conf = self.pipeline.classify_chunked(
-                self.variables, embeddings, n_last
-            )
+            labels, conf = self.pipeline.classify_buffer(self.variables, buf, decoded)
             labels, conf = jax.device_get((labels, conf))
         elapsed = time.time() - t0
         return {
