@@ -239,19 +239,64 @@ class BatchedActionPipeline:
         return self._embed_crops_u8_jit(variables["embed"], crops_u8)
 
     def _epilogue_impl(self, head_vars, emb_chunks, n_last, min_frame=0):
-        """Single-program tail: concatenate padded chunk embeddings (last
-        chunk sliced to its true n_last*2 rows), split per fighter, build
-        middle-out windows, classify both fighters.  Returns
-        (labels [F, 2], confidence [F, 2])."""
+        """Chunk-tuple variant of the classification tail (kept for small
+        batch counts / API compatibility; the VOD pipeline uses the
+        constant-program buffer path)."""
         parts = list(emb_chunks[:-1])
         parts.append(emb_chunks[-1][: n_last * 2])
         emb_all = jnp.concatenate(parts, axis=0)
         f = emb_all.shape[0] // 2
         per_fighter = emb_all.reshape(f, 2, -1).astype(jnp.float32)
+        return self._two_fighter_tail(head_vars, per_fighter, f, min_frame)
 
+    def classify_chunked(self, variables, emb_chunks, n_last, min_frame=0):
+        return self._epilogue_jit(
+            variables["head"], tuple(emb_chunks), n_last, min_frame=min_frame
+        )
+
+    # ---- scalable accumulation path (VOD-length independent programs) ----
+
+    # Embedding buffers round up to this many frames so VODs of any length
+    # share one scatter and one classify program per bucket (remote
+    # compiles are expensive — same reason classify_sequence buckets).
+    BUFFER_BUCKET_FRAMES = 4096
+
+    def _scatter_impl(self, buf, emb_chunk, row_offset):
+        return jax.lax.dynamic_update_slice(
+            buf, emb_chunk.astype(jnp.float32), (row_offset, 0)
+        )
+
+    def make_embedding_buffer(self, num_frames):
+        """Preallocated interleaved [F_pad*2, D] device buffer.
+
+        F_pad buckets to the next power of two below BUFFER_BUCKET_FRAMES
+        and to BUFFER_BUCKET_FRAMES multiples above it, so the set of
+        compiled scatter/classify programs is small and shared across VOD
+        lengths without over-padding short clips."""
+        cap = self.BUFFER_BUCKET_FRAMES
+        if num_frames <= cap:
+            f_pad = 1
+            while f_pad < num_frames:
+                f_pad *= 2
+        else:
+            f_pad = cap * ((num_frames + cap - 1) // cap)
+        return jnp.zeros((f_pad * 2, self.embed_dim), jnp.float32)
+
+    def scatter_embeddings(self, buf, emb_chunk, row_offset):
+        """Write one chunk's [rows, D] embeddings at row_offset.  One
+        compiled program per (buffer bucket, chunk size); the buffer is
+        donated, so accumulation is in-place on device."""
+        return self._scatter_jit(buf, emb_chunk, row_offset)
+
+    def _two_fighter_tail(self, head_vars, per_fighter, true_len, min_frame):
+        """Shared classification tail: middle-out windows over an
+        interleaved [F, 2, D] embedding sequence -> (labels [F, 2],
+        confidence [F, 2]).  ``true_len`` clamps windows so padding rows
+        never feed real frames' windows."""
+        f = per_fighter.shape[0]
         idx = middle_out_frame_indices(
-            jnp.arange(f), self.sequence_length, self.frame_delta, f,
-            min_frame=min_frame,
+            jnp.arange(f), self.sequence_length, self.frame_delta,
+            jnp.maximum(true_len, 1), min_frame=min_frame,
         )  # [F, T]
         windows = jnp.take(per_fighter, idx, axis=0)  # [F, T, 2, D]
         windows = jnp.transpose(windows, (0, 2, 1, 3)).reshape(
@@ -262,44 +307,9 @@ class BatchedActionPipeline:
         conf = (jnp.exp(jnp.max(log_probs, axis=-1)) * 100.0).reshape(f, 2)
         return labels, conf
 
-    def classify_chunked(self, variables, emb_chunks, n_last, min_frame=0):
-        return self._epilogue_jit(
-            variables["head"], tuple(emb_chunks), n_last, min_frame=min_frame
-        )
-
-    # ---- scalable accumulation path (VOD-length independent programs) ----
-
-    def _scatter_impl(self, buf, emb_chunk, row_offset):
-        return jax.lax.dynamic_update_slice(buf, emb_chunk, (row_offset, 0))
-
-    def make_embedding_buffer(self, num_rows):
-        """Preallocated [num_rows, D] device buffer for chunk embeddings."""
-        return jnp.zeros((num_rows, self.embed_dim), jnp.float32)
-
-    def scatter_embeddings(self, buf, emb_chunk, row_offset):
-        """Write one chunk's [rows, D] embeddings at row_offset.  One
-        compiled program regardless of VOD length (the buffer is donated,
-        so accumulation is in-place on device)."""
-        return self._scatter_jit(buf, emb_chunk.astype(jnp.float32), row_offset)
-
     def _classify_buffer_impl(self, head_vars, buf, true_len, min_frame):
-        """Windows + classification over an interleaved [F_pad*2, D]
-        buffer with true length true_len frames (dynamic — one program per
-        buffer size, not per VOD length)."""
-        f_pad = buf.shape[0] // 2
-        per_fighter = buf.reshape(f_pad, 2, -1)
-        idx = middle_out_frame_indices(
-            jnp.arange(f_pad), self.sequence_length, self.frame_delta,
-            jnp.maximum(true_len, 1), min_frame=min_frame,
-        )
-        windows = jnp.take(per_fighter, idx, axis=0)  # [F_pad, T, 2, D]
-        windows = jnp.transpose(windows, (0, 2, 1, 3)).reshape(
-            f_pad * 2, self.sequence_length, -1
-        )
-        log_probs = self._head_apply(head_vars, windows)
-        labels = jnp.argmax(log_probs, axis=-1).reshape(f_pad, 2)
-        conf = (jnp.exp(jnp.max(log_probs, axis=-1)) * 100.0).reshape(f_pad, 2)
-        return labels, conf
+        per_fighter = buf.reshape(buf.shape[0] // 2, 2, -1).astype(jnp.float32)
+        return self._two_fighter_tail(head_vars, per_fighter, true_len, min_frame)
 
     def classify_buffer(self, variables, buf, true_len, min_frame=0):
         labels, conf = self._classify_buffer_jit(

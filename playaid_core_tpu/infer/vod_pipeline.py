@@ -268,10 +268,21 @@ class VodAnalyzer:
                 return n, wins, origins
 
         batch_sharding = None
+        replicated_sharding = None
+        scatter_fn = self.pipeline.scatter_embeddings
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             batch_sharding = NamedSharding(self.mesh, P("data"))
+            replicated_sharding = NamedSharding(self.mesh, P())
+            # Pin the scatter output replicated: otherwise GSPMD may pick a
+            # sharded output, which both breaks the donation aliasing and
+            # recompiles on the second chunk.
+            scatter_fn = jax.jit(
+                self.pipeline._scatter_impl,
+                donate_argnums=0,
+                out_shardings=replicated_sharding,
+            )
 
         def to_device(arr):
             if batch_sharding is not None:
@@ -286,18 +297,19 @@ class VodAnalyzer:
         )
         import contextlib
 
-        num_chunks = (f_total + chunk - 1) // chunk
         mesh_ctx = self.mesh if self.mesh is not None else contextlib.nullcontext()
         with mesh_ctx:
-            # Chunk embeddings accumulate into one preallocated device
-            # buffer via a single reusable scatter program, so program
-            # count and argument size stay constant regardless of VOD
-            # length (a chunk-tuple epilogue would grow with the video).
-            buf = self.pipeline.make_embedding_buffer(num_chunks * chunk * 2)
-            if self.mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                buf = jax.device_put(buf, NamedSharding(self.mesh, P()))
+            # Chunk embeddings accumulate into one preallocated (bucketed)
+            # device buffer via a single reusable scatter program, so
+            # program count and argument size stay constant regardless of
+            # VOD length (a chunk-tuple epilogue would grow with the video).
+            buf = self.pipeline.make_embedding_buffer(decoder.num_chunks * chunk)
+            if replicated_sharding is not None:
+                buf = jax.device_put(buf, replicated_sharding)
+            # The labeled extent is the highest frame index written, not
+            # the count of frames read: a short mid-stream chunk must not
+            # truncate later frames' labels.
+            extent = 0
             for start, (n, wins, origins) in decoder:
                 if n == 0:
                     continue
@@ -306,10 +318,11 @@ class VodAnalyzer:
                     emb = self.pipeline.embed_crops_u8(self.variables, to_device(flat))
                 else:
                     emb = self._resize_embed(wins, origins)
-                buf = self.pipeline.scatter_embeddings(buf, emb, start * 2)
+                buf = scatter_fn(buf, emb, start * 2)
                 decoded += n
+                extent = max(extent, start + n)
 
-            labels, conf = self.pipeline.classify_buffer(self.variables, buf, decoded)
+            labels, conf = self.pipeline.classify_buffer(self.variables, buf, extent)
             labels, conf = jax.device_get((labels, conf))
         elapsed = time.time() - t0
         return {
