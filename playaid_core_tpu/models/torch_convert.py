@@ -110,6 +110,65 @@ def convert_temporal_conv1d(conv_weight, conv_bias):
     return kernel, _t(conv_bias)
 
 
+def convert_lstm(state_dict, prefix, num_layers):
+    """torch nn.LSTM params -> flax StackedLSTM (OptimizedLSTMCell) params.
+
+    torch fuses gates as [4H, ...] blocks in (i, f, g, o) order with two
+    bias vectors; flax keeps one dense per gate (input side ii/if/ig/io
+    without bias, hidden side hi/hf/hg/ho carrying the summed bias).
+    """
+    gates = ("i", "f", "g", "o")
+    params = {}
+    for layer in range(num_layers):
+        w_ih = _t(state_dict[f"{prefix}.weight_ih_l{layer}"])  # [4H, in]
+        w_hh = _t(state_dict[f"{prefix}.weight_hh_l{layer}"])  # [4H, H]
+        b = _t(state_dict[f"{prefix}.bias_ih_l{layer}"]) + _t(
+            state_dict[f"{prefix}.bias_hh_l{layer}"]
+        )
+        h = w_hh.shape[1]
+        cell = {}
+        for gi, gate in enumerate(gates):
+            sl = slice(gi * h, (gi + 1) * h)
+            cell[f"i{gate}"] = {"kernel": w_ih[sl].transpose(1, 0)}
+            cell[f"h{gate}"] = {"kernel": w_hh[sl].transpose(1, 0), "bias": b[sl]}
+        params[f"lstm_{layer}"] = cell
+    return params
+
+
+def convert_rnn_action_detector(state_dict, num_layers=3):
+    """Reference RNNActionDetector state dict -> variables for
+    :class:`playaid_core_tpu.models.rnn_action_detector.RNNActionDetector`.
+
+    Expects the reference's module names: resnet.* (torchvision resnet18
+    whose fc was replaced by Sequential(Linear(512, 300))), lstm.*,
+    action_decoder.{0,2}.* (reference: models/rnn_action_detector.py:53-65).
+    """
+    resnet_sd = {
+        k[len("resnet."):]: v for k, v in state_dict.items()
+        if k.startswith("resnet.") and not k.startswith("resnet.fc.")
+    }
+    resnet_params, resnet_stats = convert_resnet_state_dict(
+        resnet_sd, stage_sizes=[2, 2, 2, 2], bottleneck=False
+    )
+    params = {
+        "ResNet_0": resnet_params,
+        "encoder_proj": {
+            "kernel": _linear(state_dict["resnet.fc.0.weight"]),
+            "bias": _t(state_dict["resnet.fc.0.bias"]),
+        },
+        "lstm": convert_lstm(state_dict, "lstm", num_layers),
+        "decoder_hidden": {
+            "kernel": _linear(state_dict["action_decoder.0.weight"]),
+            "bias": _t(state_dict["action_decoder.0.bias"]),
+        },
+        "decoder_out": {
+            "kernel": _linear(state_dict["action_decoder.2.weight"]),
+            "bias": _t(state_dict["action_decoder.2.bias"]),
+        },
+    }
+    return {"params": params, "batch_stats": {"ResNet_0": resnet_stats}}
+
+
 def convert_transformer_encoder_layer(state_dict, prefix, d_model, num_heads):
     """torch nn.TransformerEncoderLayer params -> flax
     TransformerEncoderLayer (models/resnet_transformer.py) params."""
