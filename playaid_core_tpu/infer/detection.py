@@ -153,20 +153,24 @@ class JaxCharacterDetector:
                 for class_id, score, box in dets:
                     if class_id in seen_classes or not (0 <= class_id < len(self.char_list)):
                         continue
-                    seen_classes.add(class_id)
                     crop = YoloCrop(*box, confidence=score, class_id=class_id)
+                    ok, crop_img = crop.square_crop(
+                        img, self.crop_size, padding=self.crop_padding
+                    )
+                    if not ok:
+                        # Keep the label-implies-crop invariant the AIRunner
+                        # cleanup relies on (a label with no jpg defeats gap
+                        # interpolation and crashes recognition).
+                        continue
+                    seen_classes.add(class_id)
                     lines.append(str(crop))
                     fighter = self.char_list[class_id]
                     fdir = os.path.join(crops_dir, fighter)
                     os.makedirs(fdir, exist_ok=True)
-                    ok, crop_img = crop.square_crop(
-                        img, self.crop_size, padding=self.crop_padding
+                    cv2.imwrite(
+                        os.path.join(fdir, f"{video_name}_{frame_idx + 1}.jpg"),
+                        crop_img,
                     )
-                    if ok:
-                        cv2.imwrite(
-                            os.path.join(fdir, f"{video_name}_{frame_idx + 1}.jpg"),
-                            crop_img,
-                        )
                 if lines:
                     with open(label_path, "w") as f:
                         f.write("\n".join(lines) + "\n")

@@ -369,6 +369,20 @@ class BatchedActionPipeline:
             frames_u8, boxes, out_size=self.crop_size, padding=padding, bgr_to_rgb=True
         )
 
+    def load_checkpoint(self, path):
+        """Restore an orbax checkpoint saved by the Trainer (params +
+        batch_stats [+ opt_state]) and bridge it into this pipeline's
+        split {embed, head} trees."""
+        import os
+
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(os.path.abspath(path))
+        return self.from_monolithic(
+            {"params": restored["params"], "batch_stats": restored.get("batch_stats")}
+        )
+
     def from_monolithic(self, variables):
         """Map a trained monolithic model checkpoint
         (:mod:`playaid_core_tpu.models` / :mod:`playaid_core_tpu.train`)

@@ -258,8 +258,16 @@ class AIRunner:
 
     def ensure_variables(self, rng_seed=0):
         if self.variables is None:
+            import sys
+
             import jax
 
+            print(
+                "WARNING: no trained weights provided; using random "
+                "initialization (predicted actions will be meaningless). "
+                "Pass variables= or a --checkpoint.",
+                file=sys.stderr,
+            )
             self.variables = self.pipeline.init(jax.random.PRNGKey(rng_seed))
         return self.variables
 
@@ -270,17 +278,24 @@ class AIRunner:
             if not overwrite and self.ai_output_data[fighter][0].action:
                 continue
 
-            # 1) load crops once (frames 1..max_frames, 1-indexed like YOLO).
+            # Embed once, streaming crops in embed_batch-sized uint8 slices
+            # (RGB flip + /255 run fused on device) so host memory stays
+            # bounded regardless of VOD length.
             frame_nums = list(range(1, self.max_frames))
-            crops = np.stack([
-                self._load_crop(self.get_crop_path(fighter, i)) for i in frame_nums
-            ]).astype(np.float32) / 255.0
-
-            # 2) embed once, in chunks.
             embeddings = []
-            for start in range(0, len(crops), embed_batch):
-                chunk = jnp.asarray(crops[start : start + embed_batch])
-                embeddings.append(np.asarray(self.pipeline.embed_crops(self.variables, chunk)))
+            for start in range(0, len(frame_nums), embed_batch):
+                batch_nums = frame_nums[start : start + embed_batch]
+                crops_u8 = np.stack([
+                    # _load_crop returns RGB; embed_crops_u8 flips BGR->RGB,
+                    # so hand it BGR.
+                    self._load_crop(self.get_crop_path(fighter, i))[..., ::-1]
+                    for i in batch_nums
+                ])
+                embeddings.append(
+                    np.asarray(
+                        self.pipeline.embed_crops_u8(self.variables, jnp.asarray(crops_u8))
+                    )
+                )
             embeddings = jnp.asarray(np.concatenate(embeddings, axis=0))
 
             # 3) classify all windows at once (min_frame=1 in crop-file space
@@ -371,9 +386,15 @@ class AIRunner:
 
 @click.command()
 @click.option("--video", "-v", help="Path to video")
-def ai_runner(video):
+@click.option("--checkpoint", "-c", default=None,
+              help="orbax checkpoint dir for the action model (Trainer format)")
+@click.option("--family", default="cnn", type=click.Choice(["cnn", "resformer", "rnn"]))
+def ai_runner(video, checkpoint, family):
     """Entrypoint to AIRunner (reference: ai_runner.py:611-622)."""
-    runner = AIRunner(input_video_path=video, debug=True)
+    pipeline = BatchedActionPipeline(family=family, num_actions=len(MOVE_TO_CLASS_ID))
+    variables = pipeline.load_checkpoint(checkpoint) if checkpoint else None
+    runner = AIRunner(input_video_path=video, debug=True, pipeline=pipeline,
+                      variables=variables)
     runner.run_detection_setup()
     runner.run_action_recognition()
     runner.write_output()

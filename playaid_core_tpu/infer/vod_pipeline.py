@@ -52,6 +52,12 @@ def extract_windows(frame, boxes, window, padding):
         cxp, cyp = int(cx * w), int(cy * h)
         half = int(max(int(bw * w), int(bh * h)) / 2)
         side = 2 * (half + padding)
+        if side > window - 2:
+            # Crop exceeds the static window: shrink around the same
+            # center rather than silently truncating the bottom/right
+            # (the device resample paints out-of-window coords black).
+            half = (window - 2) // 2 - padding
+            side = 2 * (half + padding)
         y0 = cyp - half - padding
         x0 = cxp - half - padding
         ys, xs = y0, x0
@@ -112,6 +118,7 @@ class BoundedSegmentDecoder:
         self.workers_n = min(workers, self.num_chunks)
 
         self._results = {}
+        self._error = None
         self._cond = threading.Condition()
         self._next_emit = 0
         self._task_q = queue.Queue()
@@ -126,6 +133,14 @@ class BoundedSegmentDecoder:
             t.start()
 
     def _worker(self):
+        try:
+            self._worker_loop()
+        except BaseException as e:  # propagate into the consumer
+            with self._cond:
+                self._error = e
+                self._cond.notify_all()
+
+    def _worker_loop(self):
         import cv2
 
         cap = cv2.VideoCapture(self.path)
@@ -164,6 +179,8 @@ class BoundedSegmentDecoder:
         for idx in range(self.num_chunks):
             with self._cond:
                 while idx not in self._results:
+                    if self._error is not None:
+                        raise self._error
                     self._cond.wait()
                 item = self._results.pop(idx)
                 self._next_emit = idx + 1
@@ -219,6 +236,12 @@ class VodAnalyzer:
 
     def ensure_variables(self, seed=0):
         if self.variables is None:
+            print(
+                "WARNING: no trained weights provided; using random "
+                "initialization (labels will be meaningless). Pass "
+                "variables= or a --checkpoint.",
+                file=__import__("sys").stderr,
+            )
             self.variables = self.pipeline.init(jax.random.PRNGKey(seed))
         return self.variables
 
@@ -340,16 +363,21 @@ def main():
     @click.command()
     @click.option("--video", "-v", required=True, help="Path to the VOD")
     @click.option("--log", "-l", "log_path", required=True, help="ult_logger log path")
-    @click.option("--family", default="cnn", type=click.Choice(["cnn", "resformer"]))
+    @click.option("--family", default="cnn",
+                  type=click.Choice(["cnn", "resformer", "rnn"]))
     @click.option("--frames", default=None, type=int, help="limit analyzed frames")
     @click.option("--out", "-o", default=None, help="write labels CSV here")
-    def analyze_vod(video, log_path, family, frames, out):
+    @click.option("--checkpoint", "-c", default=None,
+                  help="orbax checkpoint dir (Trainer format)")
+    def analyze_vod(video, log_path, family, frames, out, checkpoint):
         """Batched TPU action recognition over a full VOD, with fighter
         boxes projected from the log (detection-free)."""
         from playaid_core_tpu.ontology import CLASS_ID_TO_MOVE
 
         boxes = boxes_from_log(log_path, num_frames=frames)
-        analyzer = VodAnalyzer(BatchedActionPipeline(family=family))
+        pipe = BatchedActionPipeline(family=family)
+        variables = pipe.load_checkpoint(checkpoint) if checkpoint else None
+        analyzer = VodAnalyzer(pipe, variables=variables)
         result = analyzer.analyze(video, boxes)
         print(f"{result['frames']} frames in {result['seconds']:.2f}s "
               f"({result['fps']:.1f} fps)")

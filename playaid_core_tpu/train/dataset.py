@@ -275,7 +275,9 @@ class UltActionRecogDataset:
             max_frames=max_frames, min_frame=0,
         )
 
-        # Preceding-action context window for models that consume it.
+        # Preceding-action context window for models that consume it
+        # (pass num_preceding_actions=0 to skip the extra label reads on
+        # hot training paths — no current model family consumes these).
         preceding = []
         for i in range(selected_frame - self.num_preceding_actions, selected_frame):
             frame_num = max(i, 0)
@@ -355,7 +357,9 @@ class UltActionRecogDataset:
             i += 1
 
         num_frames = len(mini_frames)
-        last_frame = int(rng.integers(self.num_frames_per_sample, num_frames))
+        # high is inclusive here: a mini-timeline of exactly T frames is
+        # valid (the reference's randint(T, n-1) crashed on that edge).
+        last_frame = int(rng.integers(self.num_frames_per_sample, num_frames + 1))
         clip_paths = mini_frames[last_frame - self.num_frames_per_sample : last_frame]
         clip_actions = mini_actions[last_frame - self.num_frames_per_sample : last_frame]
 
@@ -514,11 +518,15 @@ class UltActionRecogDataset:
     def batches(self, batch_size, num_batches=None):
         """Yield (frames [B,T,H,W,3], char_ids [B], labels [B,T]) host arrays."""
         count = 0
+        idx = 0
         total = num_batches if num_batches is not None else max(self.num_samples // batch_size, 1)
         while count < total:
             frames, chars, labels = [], [], []
             for _ in range(batch_size):
-                f, c, a, _meta = self[0]
+                # Real running index: index-dependent splits (e.g. the
+                # 'simple' mode's idx%2 class alternation) need it.
+                f, c, a, _meta = self[idx]
+                idx += 1
                 frames.append(f)
                 chars.append(c)
                 labels.append(a)

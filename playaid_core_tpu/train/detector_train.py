@@ -133,6 +133,11 @@ class DetectorTrainer:
             tx=optax.adam(learning_rate),
         )
         self.train_step = make_detector_train_step(self.model)
+        self._apply_jit = jax.jit(
+            lambda params, stats, images: self.model.apply(
+                {"params": params, "batch_stats": stats}, images, train=False
+            )
+        )
         self.metrics_log = []
 
     def fit(self, num_steps, batch_size=8, log_every=20, log_path=None):
@@ -165,9 +170,8 @@ class DetectorTrainer:
         resized = np.stack([
             cv2.resize(img, (self.input_hw[1], self.input_hw[0])) for img in images_u8
         ]).astype(np.float32) / 255.0
-        outputs = self.model.apply(
-            {"params": self.state.params, "batch_stats": self.state.batch_stats},
-            jnp.asarray(resized), train=False,
+        outputs = self._apply_jit(
+            self.state.params, self.state.batch_stats, jnp.asarray(resized)
         )
         boxes, scores, classes = decode_detections(outputs, max_det=max_det)
         boxes, scores, classes = jax.device_get((boxes, scores, classes))

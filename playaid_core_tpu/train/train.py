@@ -230,7 +230,12 @@ class Trainer:
             # Curriculum (reference: models/cnn_action_detector.py:118-129).
             if epoch_acc > cfg.curriculum_threshold:
                 self.train_dataset.make_synth_more_challenging()
-            self.train_dataset.switch_num_frames_per_sample()
+            # T resampling is only valid for families whose graph is
+            # T-agnostic (the RNN); the CNN's temporal dense and the
+            # ResFormer's time encoding are sized to sequence_length (the
+            # reference had the same constraint, action_detector.py:47-48).
+            if cfg.family == "rnn":
+                self.train_dataset.switch_num_frames_per_sample()
 
             if self.val_dataset is not None:
                 val_losses, val_accs = [], []
@@ -325,6 +330,9 @@ def train(ckpt, fighters, family, batch_size, num_epochs, name, num_samples,
         num_frames_per_sample=[num_frames_per_sample],
         frame_delta=list(frame_delta),
         char_subset=char_subset,
+        # No current model family consumes the preceding-action context;
+        # skip its 8 extra label reads per sample on the hot path.
+        num_preceding_actions=0,
     )
     train_ds = UltActionRecogDataset(split="train", **dataset_args)
     val_args = dict(dataset_args, num_samples=num_samples // 4)

@@ -51,3 +51,52 @@ def test_pipeline_matches_monolithic(family):
     else:
         expected = mono_out[0, t // 2]
     np.testing.assert_allclose(pipe_out[0], expected, rtol=1e-4, atol=1e-5)
+
+
+def test_load_checkpoint_from_trainer(tmp_path):
+    """Trainer orbax checkpoint -> pipeline.load_checkpoint -> identical
+    predictions to the in-memory bridge."""
+    import cv2
+
+    from playaid_core_tpu.parallel.mesh import make_mesh
+    from playaid_core_tpu.train.dataset import UltActionRecogDataset
+    from playaid_core_tpu.train.train import Trainer, TrainerConfig
+
+    actions = ["A", "B", "Unknown"]
+    rng = np.random.default_rng(0)
+    base = tmp_path / "train" / "vid" / "0_byleth"
+    (base / "images").mkdir(parents=True)
+    (base / "labels").mkdir(parents=True)
+    for frame in range(12):
+        cv2.imwrite(str(base / "images" / f"{frame:06d}.jpg"),
+                    rng.integers(0, 255, (32, 32, 3), dtype=np.uint8))
+        with open(base / "labels" / f"{frame:06d}.txt", "w") as f:
+            f.write(actions[frame % 2])
+
+    ds = UltActionRecogDataset(
+        split="train", num_samples=4, img_dimension=32, anim_subset=actions,
+        num_frames_per_sample=3, frame_delta=[1], char_subset=["Byleth"],
+        crop_size=32, seed=0,
+        gt_root_train=str(tmp_path / "train"),
+        gt_root_val=str(tmp_path / "none"), gt_root_test=str(tmp_path / "none"),
+        stages_dir="/nonexistent", clean_char_dir="/nonexistent",
+    )
+    config = TrainerConfig(family="cnn", num_actions=3, sequence_length=3,
+                           batch_size=2, num_samples=4, crop_size=32,
+                           checkpoint_dir=str(tmp_path / "ckpts"))
+    trainer = Trainer(config, ds, mesh=make_mesh())
+    trainer.init_state()
+    path = trainer.save_checkpoint(0)
+
+    pipe = BatchedActionPipeline(family="cnn", num_actions=3, sequence_length=3,
+                                 crop_size=32)
+    from_ckpt = pipe.load_checkpoint(path)
+    in_memory = pipe.from_monolithic({
+        "params": jax.device_get(trainer.state.params),
+        "batch_stats": jax.device_get(trainer.state.batch_stats),
+    })
+    seq = jax.random.normal(KEY, (6, 1000))
+    l1, c1 = pipe.classify_sequence(from_ckpt, seq, pad_bucket=8)
+    l2, c2 = pipe.classify_sequence(in_memory, seq, pad_bucket=8)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), rtol=1e-5)

@@ -71,6 +71,24 @@ def test_decoder_backpressure_bound(tmp_path):
     assert max(max_lead) <= 4, max(max_lead)
 
 
+def test_decoder_worker_error_propagates(tmp_path):
+    """A transform exception surfaces in the consumer instead of hanging."""
+    import pytest
+
+    path = tmp_path / "v.mp4"
+    _make_video(path, 24)
+
+    def bad_transform(i, f):
+        if i >= 10:
+            raise IndexError("boxes exhausted")
+        return None
+
+    dec = BoundedSegmentDecoder(str(path), 24, 8, bad_transform, workers=2)
+    with pytest.raises(IndexError):
+        for _ in dec:
+            pass
+
+
 def test_background_iterator_large():
     out = list(BackgroundIterator(iter(range(5000)), maxsize=16))
     assert out == list(range(5000))
