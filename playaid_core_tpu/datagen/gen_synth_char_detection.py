@@ -54,8 +54,13 @@ def get_flat_character_animations(clean_char_dir=None):
 
 
 def composite_chars_onto_stage(stage_path, char_paths, output_path, class_type="CHAR",
-                               rng=None, bbox_overlay=False, char_list=None):
-    """(reference: gen_synth_char_detection.py:190-262)"""
+                               rng=None, bbox_overlay=False, char_list=None,
+                               augment=True):
+    """(reference: gen_synth_char_detection.py:190-262)
+
+    ``augment=False`` skips the sprite augmentation (whose full-range hue
+    shift erases color-coded identity cues) — useful when class identity
+    is color-dependent."""
     rng = rng or np.random.default_rng()
     char_list = char_list or constants.CHAR_LIST
     stage = Image.open(stage_path).convert("RGB")
@@ -77,9 +82,10 @@ def composite_chars_onto_stage(stage_path, char_paths, output_path, class_type="
         basewidth = int(rng.integers(50, 151))
         hsize = int(char.size[1] * basewidth / float(char.size[0]))
         char = char.resize((basewidth, max(hsize, 1)))
-        char = Image.fromarray(
-            augment_synth_char_crop(np.array(char), rng=rng, output_size=basewidth)
-        )
+        if augment:
+            char = Image.fromarray(
+                augment_synth_char_crop(np.array(char), rng=rng, output_size=basewidth)
+            )
 
         # Gaussian placement toward the stage center
         # (reference: gen_synth_char_detection.py:225-234).
@@ -124,7 +130,8 @@ def composite_chars_onto_stage(stage_path, char_paths, output_path, class_type="
 def generate_stage_char_compositions(sub_dir_name, n_generations, class_type="CHAR",
                                      overwrite=False, bbox_overlay=False, seed=None,
                                      output_root=None, stages_dir=None,
-                                     clean_char_dir=None, char_list=None):
+                                     clean_char_dir=None, char_list=None,
+                                     augment=True):
     rng = np.random.default_rng(seed)
     stages = get_stage_paths(stages_dir)
     char_animations = get_flat_character_animations(clean_char_dir)
@@ -150,7 +157,7 @@ def generate_stage_char_compositions(sub_dir_name, n_generations, class_type="CH
         composite_chars_onto_stage(
             stage, selected, os.path.join(images_dir, f"comp-{i}.jpg"),
             class_type=class_type, rng=rng, bbox_overlay=bbox_overlay,
-            char_list=char_list,
+            char_list=char_list, augment=augment,
         )
     return n_generations
 

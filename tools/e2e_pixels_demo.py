@@ -136,9 +136,12 @@ def run_demo(workdir, det_steps=600, act_epochs=5, act_steps=24, eval_frames=240
 
     # --- 1) detector data + training ---
     print("generating detection composites...")
+    # Identity in this demo is color-coded, so skip the hue-shifting sprite
+    # augmentation when compositing detector training data.
     generate_stage_char_compositions(
         "train", 300, seed=0, output_root=os.path.join(workdir, "composites"),
         stages_dir=stages, clean_char_dir=clean, char_list=list(constants.CHAR_LIST),
+        augment=False,
     )
     det_ds = DetectionDataset(
         os.path.join(workdir, "composites", "train"), input_hw=(256, 448),
