@@ -120,9 +120,16 @@ def get_character_actions_animations_dict(clean_char_dir=None):
     return character_animations
 
 
-def load_and_composite_sprite(frame_path, stage_crop, synth_difficulty, rng):
+def load_and_composite_sprite(frame_path, stage_crop, synth_difficulty, rng,
+                              fill=1.0):
     """Paste an (augmented) RGBA sprite mostly-centered onto a stage crop
-    (reference: ult_action_dataset.py:97-136)."""
+    (reference: ult_action_dataset.py:97-136).
+
+    ``fill`` scales the sprite to that fraction of the crop — matching
+    deployment crops where detector boxes plus padding leave the sprite at
+    ~80-95% of the window (a scale-only augmentation without the
+    difficulty pipeline's color scrambling).
+    """
     stage_crop = stage_crop.copy()
     width, height = stage_crop.size
     char_frame = cv2.imread(frame_path, cv2.IMREAD_UNCHANGED)
@@ -133,9 +140,9 @@ def load_and_composite_sprite(frame_path, stage_crop, synth_difficulty, rng):
             char_frame, rng=rng, **SYNTH_DIFFICULTY_SPRITE[synth_difficulty]
         )
     if char_frame.shape[0] > char_frame.shape[1]:
-        char_frame = aspect_resize(char_frame, height=height)
+        char_frame = aspect_resize(char_frame, height=max(int(height * fill), 1))
     else:
-        char_frame = aspect_resize(char_frame, width=width)
+        char_frame = aspect_resize(char_frame, width=max(int(width * fill), 1))
     char_frame = cv2.cvtColor(char_frame, cv2.COLOR_BGRA2RGBA)
     char_img = Image.fromarray(char_frame)
     paste_x = (stage_crop.width - char_img.width) // 2
@@ -171,6 +178,7 @@ class UltActionRecogDataset:
         manual_ground_truth_csv=None,
         manual_ground_truth_video=None,
         manual_split="train",
+        synth_sprite_fill=(1.0, 1.0),
     ):
         self.split = split
         self.num_samples = num_samples
@@ -182,6 +190,7 @@ class UltActionRecogDataset:
         self.move_stage_background = move_stage_background
         self.synth_difficulty = synth_difficulty
         self.num_preceding_actions = num_preceding_actions
+        self.synth_sprite_fill = synth_sprite_fill
         self.rng = np.random.default_rng(seed)
 
         self.num_frames_per_sample_options = (
@@ -382,8 +391,9 @@ class UltActionRecogDataset:
                     Image.open(stage_path).convert("RGB"),
                     self.img_dimension, self.img_dimension, ul, 10, rng,
                 )
+            fill = float(rng.uniform(*self.synth_sprite_fill))
             frame = load_and_composite_sprite(
-                frame_path, stage_cropped, self.synth_difficulty, rng
+                frame_path, stage_cropped, self.synth_difficulty, rng, fill=fill
             )
             frames.append(np.array(frame))
 

@@ -162,6 +162,10 @@ def run_demo(workdir, det_steps=600, act_epochs=5, act_steps=24, eval_frames=240
         gt_root_val=os.path.join(workdir, "none"),
         gt_root_test=os.path.join(workdir, "none"),
         stages_dir=stages, clean_char_dir=clean,
+        # Scale-only augmentation: detector crops leave the sprite at
+        # ~80-95% of the window; train across that range (the difficulty
+        # pipeline's hue scrambling would erase this demo's color cues).
+        synth_sprite_fill=(0.72, 1.0),
     )
     config = TrainerConfig(
         family="cnn", num_actions=len(ACTIONS), sequence_length=3, batch_size=16,
@@ -223,7 +227,17 @@ def run_demo(workdir, det_steps=600, act_epochs=5, act_steps=24, eval_frames=240
     act_rate = act_hits / total
     print(f"detection localization rate: {det_rate:.2%}")
     print(f"pixels-only action agreement: {act_rate:.2%}")
-    return {"det_rate": det_rate, "act_rate": act_rate}
+    return {
+        "det_rate": det_rate,
+        "act_rate": act_rate,
+        "act_trainer": act_trainer,
+        "det_trainer": det_trainer,
+        "runner": runner,
+        "gt_labels": gt_labels,
+        "gt_boxes": gt_boxes,
+        "pipe": pipe,
+        "split_vars": split_vars,
+    }
 
 
 if __name__ == "__main__":
