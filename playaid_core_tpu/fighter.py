@@ -109,6 +109,24 @@ class Fighter:
         self.stage_id = 0
         self.stage = STAGE_ENUM_TO_DATA[0]["name"]
 
+        # The full previous_* family is part of the frame-0 contract (the
+        # reference left these unset until the first update(),
+        # reference: fighter.py:557-585).
+        self.previous_position_in_world = list(self.position_in_world)
+        self.previous_facing = self.facing
+        self.previous_fighter_id = fighter_id
+        self.previous_motion_kind = self.motion_kind
+        self.previous_num_frames_left = self.num_frames_left
+        self.previous_pos_x = self.pos_x
+        self.previous_pos_y = self.pos_y
+        self.previous_shield_size = self.shield_size
+        self.previous_status_kind = self.status_kind
+        self.previous_stock_count = self.stock_count
+        self.previous_fighter_name = fighter_name
+        self.previous_crop = crop
+        self.previous_motion_hex = self.motion_hex
+        self.previous_action_string = self.action_string
+
         if yolo_string:
             class_id, x, y, crop_width, crop_height, conf = yolo_string.split(" ")
             self.char_class_id = int(class_id)

@@ -85,9 +85,18 @@ def parse_log_records(path, max_records=None):
         return None
 
     if max_records is None:
-        # Two records per frame; bound by file size / minimal line length.
-        size = os.path.getsize(path)
-        max_records = max(size // 80 + 16, 64)
+        # Exact line count: an estimate from file size silently truncates
+        # logs with shorter-than-expected lines (the C parser stops at
+        # max_records without any overflow signal).
+        count = 0
+        with open(path, "rb") as f:
+            while True:
+                block = f.read(1 << 22)
+                if not block:
+                    break
+                count += block.count(b"\n")
+        # +2 covers a final line without a trailing newline.
+        max_records = max(count + 2, 64)
 
     buf = np.empty((max_records, _NUM_FIELDS), dtype=np.float64)
     n = lib.parse_log(

@@ -60,14 +60,17 @@ def jobs_from_pairings(indices, pairings_file=None, output_dir=None, **common_ar
     jobs = []
     for index in indices:
         dir_name, video_name, log_name, log_offset = pairings[index]
+        stem = os.path.splitext(video_name)[0]
         jobs.append(
             dict(
                 input_video_path=os.path.join(constants.GROUND_TRUTH_DIR, dir_name, video_name),
                 ground_truth_path=os.path.join(constants.GROUND_TRUTH_DIR, dir_name, log_name),
                 log_offset=log_offset,
+                # Row index + video stem keep outputs unique even when
+                # several pairing rows share a directory.
                 output_video_path=os.path.join(
                     output_dir or constants.EXPERIMENT_OUTPUT,
-                    f"{dir_name}_{date_time_str}.mp4",
+                    f"{dir_name}_{index}_{stem}_{date_time_str}.mp4",
                 ),
                 **common_args,
             )

@@ -19,7 +19,8 @@ from functools import lru_cache
 import matplotlib
 
 matplotlib.use("Agg")
-import matplotlib.pyplot as plt  # noqa: E402
+from matplotlib.backends.backend_agg import FigureCanvasAgg  # noqa: E402
+from matplotlib.figure import Figure  # noqa: E402
 import numpy as np  # noqa: E402
 from PIL import Image, ImageDraw, ImageFont  # noqa: E402
 
@@ -109,7 +110,12 @@ def data_to_ys(data, symbol_to_word, anim_to_category, moves):
 
 
 def _new_axes(width, height, title):
-    fig, ax = plt.subplots(dpi=100)
+    # Object-oriented Figure API (not pyplot): no global figure registry, so
+    # chart rendering is safe under the multi-VOD thread pool
+    # (pipeline/multi.py).
+    fig = Figure(dpi=100)
+    FigureCanvasAgg(fig)
+    ax = fig.add_subplot(111)
     ax.set_title(title, fontsize=8)
     ax.tick_params(labelsize=6)
     return fig, ax
@@ -127,9 +133,7 @@ def bar_graph_image(actions, counts, width=400, height=360, title="actions", ori
     rotation = math.degrees(orientation) if orientation else 0
     ax.set_xticklabels(labels, rotation=rotation, ha="right" if rotation else "center")
     ax.set_ylim(bottom=0)
-    img = figure_to_rgba(fig, width, height)
-    plt.close(fig)
-    return img
+    return figure_to_rgba(fig, width, height)
 
 
 @lru_cache(maxsize=32)
@@ -147,9 +151,7 @@ def _success_vs_punished_image(
     ax.set_xticklabels(labels, rotation=45, ha="right")
     ax.set_ylim(bottom=0)
     ax.legend(fontsize=6)
-    img = figure_to_rgba(fig, width, height)
-    plt.close(fig)
-    return img
+    return figure_to_rgba(fig, width, height)
 
 
 @lru_cache(maxsize=32)
@@ -170,15 +172,15 @@ def _success_punished_missed_image(
     ax.set_xticklabels(labels, rotation=rotation, ha="right" if rotation else "center")
     ax.set_ylim(bottom=0)
     ax.legend(fontsize=6)
-    img = figure_to_rgba(fig, width, height)
-    plt.close(fig)
-    return img
+    return figure_to_rgba(fig, width, height)
 
 
 @lru_cache(maxsize=20)
 def _move_pie_chart(success, punished, missed, size):
     """Blue/red/gray move-outcome pie (reference: graphs/onscreen.py:37-78)."""
-    fig, ax = plt.subplots(dpi=100)
+    fig = Figure(dpi=100)
+    FigureCanvasAgg(fig)
+    ax = fig.add_subplot(111)
     values = [success, punished, missed]
     colors = ["blue", "red", "gray"]
     if sum(values) == 0:
@@ -187,7 +189,6 @@ def _move_pie_chart(success, punished, missed, size):
     ax.set_axis_off()
     fig.patch.set_alpha(0.0)
     img = figure_to_rgba(fig, size, size)
-    plt.close(fig)
     return None, img
 
 

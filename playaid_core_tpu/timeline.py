@@ -75,12 +75,12 @@ def load_ground_truth_from_path(
 
     if log_offset < 0:
         # Duplicate initial state (reference: timeline.py:219-228).
-        line1 = next(record_iter)
-        line2 = next(record_iter)
-        ground_truth = [[line1, line2]] * abs(log_offset)
+        # Materialise once so the file isn't parsed twice.
+        records = list(record_iter)
+        ground_truth = [records[:2]] * abs(log_offset)
         index += 2 * abs(log_offset)
         log_offset = 0
-        record_iter = _iter_log_records(label_path, parser)
+        record_iter = iter(records)
 
     for json_data in record_iter:
         if max_lines and index > max_lines:
@@ -378,9 +378,12 @@ class GTVideo:
         self.ground_truth = load_ground_truth_from_path(self.label_path)
 
     def get_ground_truth(self, start_frame, num_frames):
+        """``num_frames`` is a count, matching get_frames (the reference
+        treated it as an exclusive end frame here, returning mismatched
+        windows for any start_frame > 0 — reference: timeline.py:313-317)."""
         if not self.ground_truth:
             self.load_ground_truth()
-        return [self.ground_truth[i] for i in range(start_frame, num_frames)]
+        return [self.ground_truth[i] for i in range(start_frame, start_frame + num_frames)]
 
     def get_frames_and_labels(self, start_frame, num_frames):
         return (

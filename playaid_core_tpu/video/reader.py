@@ -88,17 +88,30 @@ class PrefetchingReader:
         self._transform = transform
         self._start = start
         self._stop = stop
+        self._stopped = threading.Event()
         self._thread = threading.Thread(target=self._producer, daemon=True)
         self._thread.start()
 
     def _producer(self):
         try:
             for i, frame in self.reader.iter_frames(self._start, self._stop):
+                if self._stopped.is_set():
+                    return
                 if self._transform is not None:
                     frame = self._transform(frame)
-                self._queue.put((i, frame))
+                # Bounded put with a timeout so a consumer that stopped
+                # early never leaves this thread blocked forever.
+                while not self._stopped.is_set():
+                    try:
+                        self._queue.put((i, frame), timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
         finally:
-            self._queue.put(None)
+            try:
+                self._queue.put_nowait(None)
+            except queue.Full:
+                pass
 
     def __iter__(self):
         while True:
@@ -108,4 +121,14 @@ class PrefetchingReader:
             yield item
 
     def release(self):
+        """Signal the producer, wait for it to exit, then close the
+        capture (closing it mid-read is undefined behavior in OpenCV)."""
+        self._stopped.set()
+        # Drain so a blocked put can complete.
+        try:
+            while True:
+                self._queue.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=5.0)
         self.reader.release()

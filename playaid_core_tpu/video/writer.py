@@ -43,13 +43,20 @@ def ffmpeg_available() -> bool:
 
 def add_audio(output_video_path, input_video_path):
     """Remux the source audio track into the rendered video
-    (reference: manuscript.py:249-279).  No-op with a warning when ffmpeg
-    is unavailable in the environment."""
+    (reference: manuscript.py:249-279).  Degrades gracefully: no ffmpeg,
+    or a source with no audio stream, leaves the silent video in place
+    with a warning instead of failing an already-finished render."""
     if not ffmpeg_available():
         print("ffmpeg not found; skipping audio remux")
         return False
 
-    tmp_path = os.path.join("/tmp", os.path.basename(output_video_path))
+    import tempfile
+    import uuid
+
+    tmp_path = os.path.join(
+        tempfile.gettempdir(),
+        f"{uuid.uuid4().hex}_{os.path.basename(output_video_path)}",
+    )
     command = [
         "ffmpeg",
         "-y",
@@ -63,6 +70,14 @@ def add_audio(output_video_path, input_video_path):
         "-shortest",
         tmp_path,
     ]
-    subprocess.run(command, check=True)
+    result = subprocess.run(command, capture_output=True)
+    if result.returncode != 0:
+        print(
+            "audio remux failed (source may have no audio stream); "
+            f"keeping silent video: {result.stderr.decode(errors='replace')[-200:]}"
+        )
+        if os.path.exists(tmp_path):
+            os.unlink(tmp_path)
+        return False
     shutil.move(tmp_path, output_video_path)
     return True
