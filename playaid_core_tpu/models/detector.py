@@ -29,32 +29,22 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from playaid_core_tpu.models.resnet import BasicBlock, make_resnet
+from playaid_core_tpu.models.resnet import make_resnet
 
 
 class ResNetTrunk(nn.Module):
     """ResNet-18 feature extractor without pooling/head: returns the
-    stride-32 feature map."""
+    stride-32 feature map (shares the ResNet implementation so backbone
+    fixes apply everywhere)."""
 
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
-        norm = partial(
-            nn.BatchNorm, use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype,
-        )
-        x = x.astype(self.dtype)
-        x = conv(64, (7, 7), (2, 2), padding=[(3, 3), (3, 3)], name="conv_init")(x)
-        x = norm(name="bn_init")(x)
-        x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
-        for i, block_size in enumerate([2, 2, 2, 2]):
-            for j in range(block_size):
-                strides = 2 if i > 0 and j == 0 else 1
-                x = BasicBlock(64 * 2**i, conv=conv, norm=norm, strides=strides)(x)
-        return x
+        return make_resnet(
+            "resnet18", num_classes=0, dtype=self.dtype, return_feature_map=True,
+            name="resnet",
+        )(x, train=train)
 
 
 class CenterNetDetector(nn.Module):
@@ -123,19 +113,22 @@ def gaussian_radius(height, width, min_overlap=0.7):
     return max(1.0, min(r1, r2, r3))
 
 
-def build_targets(boxes, classes, valid, out_h, out_w, num_classes, stride=4):
+def build_targets(boxes, classes, valid, out_h, out_w, num_classes):
     """Host-side target splatting for one image.
 
     boxes: [M, 4] normalized yolo (cx, cy, w, h); classes: [M]; valid [M].
     Returns (heatmap [out_h, out_w, C], size [out_h, out_w, 2],
     offset [out_h, out_w, 2], mask [out_h, out_w]).
+
+    Gaussians are splatted only inside a (6*sigma)-radius window around
+    each center (CenterNet's formulation) — a whole-grid exp per box would
+    dominate the host data path.
     """
     heat = np.zeros((out_h, out_w, num_classes), np.float32)
     size = np.zeros((out_h, out_w, 2), np.float32)
     offset = np.zeros((out_h, out_w, 2), np.float32)
     mask = np.zeros((out_h, out_w), np.float32)
 
-    ys, xs = np.ogrid[:out_h, :out_w]
     for m in range(boxes.shape[0]):
         if not valid[m]:
             continue
@@ -147,9 +140,13 @@ def build_targets(boxes, classes, valid, out_h, out_w, num_classes, stride=4):
             continue
         radius = gaussian_radius(hs, ws)
         sigma = radius / 3.0
+        r = max(int(np.ceil(3 * radius)), 1)
+        y0, y1 = max(ci - r, 0), min(ci + r + 1, out_h)
+        x0, x1 = max(cj - r, 0), min(cj + r + 1, out_w)
+        ys, xs = np.ogrid[y0:y1, x0:x1]
         g = np.exp(-(((ys - ci) ** 2) + ((xs - cj) ** 2)) / (2 * sigma**2))
         c = int(classes[m])
-        heat[:, :, c] = np.maximum(heat[:, :, c], g)
+        heat[y0:y1, x0:x1, c] = np.maximum(heat[y0:y1, x0:x1, c], g)
         size[ci, cj] = (ws, hs)
         offset[ci, cj] = (cxs - cj, cys - ci)
         mask[ci, cj] = 1.0

@@ -93,6 +93,9 @@ class ResNet(nn.Module):
     num_classes: int = 1000
     num_filters: int = 64
     dtype: Any = jnp.float32
+    # Return the pre-pool stride-32 feature map instead of pooled
+    # features/logits (used by the detector trunk).
+    return_feature_map: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -118,6 +121,8 @@ class ResNet(nn.Module):
                     self.num_filters * 2**i, conv=conv, norm=norm, strides=strides
                 )(x)
 
+        if self.return_feature_map:
+            return x
         x = jnp.mean(x, axis=(1, 2))
         if self.num_classes:
             x = nn.Dense(self.num_classes, dtype=self.dtype, name="head")(x)

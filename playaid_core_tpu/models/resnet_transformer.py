@@ -53,12 +53,15 @@ class TransformerEncoderLayer(nn.Module):
             dtype=self.dtype,
             name="self_attn",
         )(x, x)
+        # Residual dropouts match torch's dropout1/dropout2 placement.
+        attn = nn.Dropout(self.dropout_rate, deterministic=not train)(attn)
         x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + attn)
 
         y = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="ffn_in")(x)
         y = nn.relu(y)
         y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
         y = nn.Dense(self.d_model, dtype=self.dtype, name="ffn_out")(y)
+        y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
         x = nn.LayerNorm(dtype=self.dtype, name="norm2")(x + y)
         return x
 

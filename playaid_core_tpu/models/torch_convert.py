@@ -3,7 +3,19 @@
 The reference's checkpoints are torch/torchvision state dicts
 (reference: models/cnn_action_detector.py:16, ai_runner.py:164).  Parity
 with externally-trained weights means mapping those tensors into this
-framework's Flax parameter trees.  Covered:
+framework's Flax parameter trees.
+
+Semantics caveat: the converters assume the *time-axis* recurrence /
+attention this framework implements.  The reference's RNN and ResFormer
+ran torch recurrent/attention modules without ``batch_first`` on
+batch-first inputs, so those modules actually operated across the batch
+axis (see docs/PARITY.md); checkpoints trained under that transposed
+semantics will produce different (correct-axis) outputs here rather than
+reproducing the reference's buggy ones.  The CNN family and the ResNet
+backbones have no such axis dependence and convert with exact logit
+parity.
+
+Covered:
 
 * torchvision-style ResNet-18/34/50 state dicts ->
   :class:`playaid_core_tpu.models.resnet.ResNet` params/batch_stats;

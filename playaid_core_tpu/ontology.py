@@ -80,10 +80,11 @@ CLASS_ID_TO_MOVE = {v: k for k, v in MOVE_TO_CLASS_ID.items()}
 
 
 def get_animation_type_in_dict(key: str, key_to_animation: dict) -> str:
-    """Longest-prefix fallback lookup (reference: dataset_utils.py:23-37).
+    """Prefix-fallback lookup (reference: dataset_utils.py:23-37).
 
-    If ``key`` is not present, progressively shorter prefixes are tried; the
-    *longest* matching prefix wins.  Returns "Undefined" when nothing
+    If ``key`` is not present, every proper prefix is tried and the
+    *shortest* matching prefix wins (the reference iterates longest to
+    shortest, overwriting on each hit).  Returns "Undefined" when nothing
     matches.
     """
     if key in key_to_animation:

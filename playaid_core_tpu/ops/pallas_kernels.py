@@ -111,9 +111,9 @@ def pallas_square_crop_resize(
 
     Window sizing: DMA starts are aligned down to the uint8 tile grid
     (32 sublanes x 128 lanes), so the static window must cover the largest
-    crop plus slack and fit in the frame:
-        side_max + 34  <= win_h <= H
-        side_max + 130 <= win_w <= W
+    crop plus slack and fit in the (alignment-padded) frame:
+        side_max + 34  <= win_h <= H + 32
+        side_max + 130 <= win_w <= W + 128
     The defaults (384 x 512) cover fighter crops up to ~350 px on 720p+
     frames; use (512, 640) for 1080p crops up to ~470 px.
     Returns [N, out_size, out_size, 3] float32.
@@ -123,13 +123,21 @@ def pallas_square_crop_resize(
     side = jnp.maximum(side, 1.0)
     params = jnp.stack([y0, x0, side], axis=1)  # [N, 3] f32
 
+    # Zero-pad the planes by one alignment unit so a tile-aligned window
+    # start can always cover the bottom/right frame edge (without padding,
+    # clamping to h - win_h and aligning down leaves the last
+    # (h - win_h) % 32 rows unreachable -> silently black crops there).
+    # The weight matrices mask by absolute frame coordinates, so the
+    # zero padding is never sampled as real content.
+    h_pad, w_pad = h + 32, w + 128
+
     # Align window starts DOWN to the uint8 tile grid (32 x 128) so the
     # HBM DMA slice is provably tile-aligned; the weight matrices are in
     # absolute coordinates, so extra leading slack never shifts content.
-    # max_win must therefore cover side + alignment slack (+2 for the
+    # The window must therefore cover side + alignment slack (+2 for the
     # bilinear high neighbor).
-    ys = jnp.clip(jnp.floor(y0), 0, max(h - win_h, 0)).astype(jnp.int32)
-    xs = jnp.clip(jnp.floor(x0), 0, max(w - win_w, 0)).astype(jnp.int32)
+    ys = jnp.clip(jnp.floor(y0), 0, max(h_pad - win_h, 0)).astype(jnp.int32)
+    xs = jnp.clip(jnp.floor(x0), 0, max(w_pad - win_w, 0)).astype(jnp.int32)
     ys = (ys // 32) * 32
     xs = (xs // 128) * 128
     starts = jnp.stack([ys, xs], axis=1)  # [N, 2] i32
@@ -137,6 +145,7 @@ def pallas_square_crop_resize(
     planes = jnp.transpose(frames, (0, 3, 1, 2))  # [N, 3, H, W]
     if bgr_to_rgb:
         planes = planes[:, ::-1]
+    planes = jnp.pad(planes, ((0, 0), (0, 0), (0, h_pad - h), (0, w_pad - w)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

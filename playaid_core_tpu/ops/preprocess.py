@@ -12,8 +12,14 @@ fused device op over a whole batch of frames:
 The resample is expressed as two small matmuls per crop (separable
 bilinear interpolation as weight matrices), which is the MXU-native way to
 write a dynamic-window resize: no gathers, no data-dependent shapes.  Out
-of-image regions contribute zero weight -> black letterbox, matching the
-reference's ImageOps.pad(color="black") semantics.
+of-image regions contribute zero weight -> black letterbox.
+
+Known deviations from the reference's host path (fighter.py:336-381):
+content at the frame edge stays at its true geometric offset with black
+where the frame ends, whereas ImageOps.pad re-centered the clipped region
+(shifting edge-clipped fighters by up to side/4); and interpolation is
+bilinear, not imutils/cv2 INTER_AREA.  Interior crops agree to
+interpolation tolerance (tested).
 
 Two implementations with identical numerics:
 * :func:`batched_square_crop_resize` — pure jax.numpy (vmapped), runs

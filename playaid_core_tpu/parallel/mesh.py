@@ -58,9 +58,13 @@ DEFAULT_TP_RULES = (
     (r".*ffn_in/kernel$", P(None, "model")),
     (r".*ffn_in/bias$", P("model")),
     (r".*ffn_out/kernel$", P("model", None)),
-    (r".*self_attn/(query|key|value)/kernel$", P(None, None, "model")),
-    (r".*self_attn/(query|key|value)/bias$", P(None, "model")),
-    (r".*self_attn/out/kernel$", P(None, "model", None)),
+    # Attention shards over the HEADS axis (Megatron-style): each chip owns
+    # whole heads, so QK^T and attn@V need no collectives; only the output
+    # projection's contraction over heads ends in one psum.
+    # qkv kernels are [embed, heads, head_dim]; out is [heads, head_dim, embed].
+    (r".*self_attn/(query|key|value)/kernel$", P(None, "model", None)),
+    (r".*self_attn/(query|key|value)/bias$", P("model", None)),
+    (r".*self_attn/out/kernel$", P("model", None, None)),
     (r".*temporal_dense/kernel$", P(None, "model")),
     (r".*temporal_dense/bias$", P("model")),
     (r".*lstm_\d+/[ih][fiog]?/.*kernel$", P(None, "model")),

@@ -53,24 +53,59 @@ def device_prefetch(
 
 class BackgroundIterator:
     """Run a (host-heavy) iterator in a background thread with a bounded
-    queue, overlapping host batch assembly with device compute."""
+    queue, overlapping host batch assembly with device compute.
+
+    Single-shot.  ``close()`` (also called when iteration finishes or the
+    consumer abandons it via ``with``/GC) unblocks and stops the producer
+    so early-exiting training loops don't leak a thread pinning prefetched
+    batches.
+    """
 
     _SENTINEL = object()
 
     def __init__(self, iterable: Iterable, maxsize: int = 4):
         self._queue: queue.Queue = queue.Queue(maxsize=maxsize)
         self._error: Optional[BaseException] = None
+        self._stopped = threading.Event()
         self._thread = threading.Thread(target=self._run, args=(iterable,), daemon=True)
         self._thread.start()
 
     def _run(self, iterable):
         try:
             for item in iterable:
-                self._queue.put(item)
+                if self._stopped.is_set():
+                    return
+                while not self._stopped.is_set():
+                    try:
+                        self._queue.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
         except BaseException as e:  # propagate into the consumer
             self._error = e
         finally:
-            self._queue.put(self._SENTINEL)
+            try:
+                self._queue.put_nowait(self._SENTINEL)
+            except queue.Full:
+                pass
+
+    def close(self):
+        self._stopped.set()
+        try:
+            while True:
+                self._queue.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=5.0)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        self._stopped.set()
 
     def __iter__(self):
         while True:

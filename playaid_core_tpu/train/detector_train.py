@@ -76,7 +76,7 @@ class DetectionDataset:
 
         out_h, out_w = self.input_h // self.stride, self.input_w // self.stride
         heat, size, offset, mask = build_targets(
-            boxes, classes, valid, out_h, out_w, self.num_classes, self.stride
+            boxes, classes, valid, out_h, out_w, self.num_classes
         )
         return img, (heat, size, offset, mask), (boxes, classes, valid)
 

@@ -105,6 +105,29 @@ def test_bgr_flip():
     assert out[16, 16, 2] > 0.7 and out[16, 16, 0] < 0.05
 
 
+def test_pallas_kernel_bottom_edge_coverage():
+    """Crops touching the bottom/right frame edge must match the pure-JAX
+    path (the aligned-DMA clamp used to leave the last rows unreachable
+    and black)."""
+    from playaid_core_tpu.ops.pallas_kernels import pallas_square_crop_resize
+
+    yy, xx = np.mgrid[0:100, 0:320]
+    frame = np.stack([yy % 251, xx % 251, (yy + xx) % 251], axis=-1).astype(np.uint8)
+    # Box hugging the bottom edge: rows ~69-99.
+    boxes = jnp.array([[0.5, 0.85, 0.09, 0.3], [0.97, 0.5, 0.12, 0.2]])
+    ref = np.asarray(
+        batched_square_crop_resize(jnp.asarray(frame)[None].repeat(2, 0), boxes,
+                                   out_size=48, padding=0)
+    )
+    out = np.asarray(
+        pallas_square_crop_resize(
+            jnp.asarray(frame)[None].repeat(2, 0), boxes, out_size=48, padding=0,
+            win_h=96, win_w=256, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
 def test_pallas_kernel_interpret_matches_jax():
     from playaid_core_tpu.ops.pallas_kernels import pallas_square_crop_resize
 
