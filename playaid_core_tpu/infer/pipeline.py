@@ -183,6 +183,7 @@ class BatchedActionPipeline:
         self._classify_jit = jax.jit(self._classify_impl, static_argnames=("min_frame",))
         self._embed_windows_jit = jax.jit(self._embed_windows_impl)
         self._embed_crops_u8_jit = jax.jit(self._embed_crops_u8_impl)
+        self._embed_crops_yuv_jit = jax.jit(self._embed_crops_yuv_impl)
         self._epilogue_jit = jax.jit(
             self._epilogue_impl, static_argnames=("n_last", "min_frame")
         )
@@ -237,6 +238,34 @@ class BatchedActionPipeline:
 
     def embed_crops_u8(self, variables, crops_u8):
         return self._embed_crops_u8_jit(variables["embed"], crops_u8)
+
+    def _embed_crops_yuv_impl(self, embed_vars, crops_yuv):
+        """Fused YUV420->RGB + /255 + embed for packed planar uint8 crops
+        ([N, S*S*3//2], Y then U then V — see NativeVideoDecoder
+        fmt="yuv420").  Shipping 4:2:0 halves host->device bytes; the
+        BT.601 limited-range conversion (what swscale/cv2 apply on the
+        host) runs fused on device instead.
+        """
+        s = self.crop_size
+        n = crops_yuv.shape[0]
+        yb, cb = s * s, (s // 2) * (s // 2)
+        y = crops_yuv[:, :yb].reshape(n, s, s).astype(jnp.float32)
+        u = crops_yuv[:, yb : yb + cb].reshape(n, s // 2, s // 2).astype(jnp.float32)
+        v = crops_yuv[:, yb + cb :].reshape(n, s // 2, s // 2).astype(jnp.float32)
+        # Nearest 2x chroma upsample (high-frequency chroma was already
+        # band-limited by the 4:2:0 source).
+        u = jnp.repeat(jnp.repeat(u, 2, axis=1), 2, axis=2)
+        v = jnp.repeat(jnp.repeat(v, 2, axis=1), 2, axis=2)
+        yc = 1.164383 * (y - 16.0)
+        r = yc + 1.596027 * (v - 128.0)
+        g = yc - 0.391762 * (u - 128.0) - 0.812968 * (v - 128.0)
+        b = yc + 2.017232 * (u - 128.0)
+        rgb = jnp.stack([r, g, b], axis=-1)
+        crops = jnp.clip(rgb, 0.0, 255.0) / 255.0
+        return self.embed.apply(embed_vars, crops)
+
+    def embed_crops_yuv(self, variables, crops_yuv):
+        return self._embed_crops_yuv_jit(variables["embed"], crops_yuv)
 
     def _epilogue_impl(self, head_vars, emb_chunks, n_last, min_frame=0):
         """Chunk-tuple variant of the classification tail (kept for small
@@ -370,10 +399,17 @@ class BatchedActionPipeline:
         )
 
     def load_checkpoint(self, path):
-        """Restore an orbax checkpoint saved by the Trainer (params +
-        batch_stats [+ opt_state]) and bridge it into this pipeline's
-        split {embed, head} trees."""
+        """Restore a checkpoint into this pipeline's split {embed, head}
+        trees.  Accepts either an orbax directory saved by the Trainer
+        (params + batch_stats [+ opt_state]) or a reference Lightning
+        ``.ckpt`` container (reference: ai_runner.py:164-168), which is
+        converted through the logit-parity-tested torch bridges."""
         import os
+
+        if str(path).endswith(".ckpt"):
+            from playaid_core_tpu.models.lightning_ckpt import load_pipeline_from_ckpt
+
+            return load_pipeline_from_ckpt(self, path)
 
         import orbax.checkpoint as ocp
 

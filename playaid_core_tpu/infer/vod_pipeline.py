@@ -188,6 +188,101 @@ class BoundedSegmentDecoder:
             yield item
 
 
+class NativeChunkDecoder:
+    """Chunk-level decoder over the native (libavcodec) crop extractor.
+
+    Same iterator contract as :class:`BoundedSegmentDecoder` with the
+    host-resize collate — yields ``(start, (n, crops[chunk, K, S, S, 3],
+    None))`` — but the whole decode+crop+letterbox+resize for a chunk is
+    ONE C call that never converts full frames to BGR (see
+    native/video_decoder.cpp).  ``lowres`` decodes at 1/2^n resolution on
+    codecs that support it; ``stride`` extracts crops only every
+    stride-th frame (frames in between are still decoded — codec
+    reference chains require it — but skip all conversion work).
+    """
+
+    def __init__(self, path, num_frames, chunk, boxes, crop_size, padding,
+                 workers=None, ahead=6, lowres=0, stride=1, fmt="bgr"):
+        self.path = path
+        self.num_frames = num_frames
+        self.chunk = chunk
+        self.boxes = boxes
+        self.crop_size = crop_size
+        self.padding = padding
+        self.lowres = lowres
+        self.stride = stride
+        self.fmt = fmt
+        self.num_chunks = (num_frames + chunk - 1) // chunk
+        workers = workers or max(1, min((os.cpu_count() or 1), 6))
+        self.workers_n = min(workers, self.num_chunks)
+
+        self._results = {}
+        self._error = None
+        self._cond = threading.Condition()
+        self._next_emit = 0
+        self._task_q = queue.Queue()
+        for t in range(self.num_chunks):
+            self._task_q.put(t)
+        self._ahead = ahead
+        self._threads = [
+            threading.Thread(target=self._worker, daemon=True)
+            for _ in range(self.workers_n)
+        ]
+        for t in self._threads:
+            t.start()
+
+    def _worker(self):
+        try:
+            self._worker_loop()
+        except BaseException as e:
+            with self._cond:
+                self._error = e
+                self._cond.notify_all()
+
+    def _worker_loop(self):
+        from playaid_core_tpu.video.native_decoder import NativeVideoDecoder
+
+        dec = NativeVideoDecoder(self.path, lowres=self.lowres)
+        k = self.boxes.shape[1]
+        try:
+            while True:
+                try:
+                    chunk_idx = self._task_q.get_nowait()
+                except queue.Empty:
+                    return
+                with self._cond:
+                    while chunk_idx > self._next_emit + self._ahead:
+                        self._cond.wait()
+                start = chunk_idx * self.chunk
+                stop = min(start + self.chunk, self.num_frames)
+                # Fixed-shape output (zero-padded tail chunk): every chunk
+                # reuses the same compiled device programs.
+                chunk_boxes = np.zeros((self.chunk, k, 4), np.float32)
+                chunk_boxes[: stop - start] = self.boxes[start:stop]
+                n, crops = dec.decode_crops(
+                    start, chunk_boxes, self.crop_size, self.padding,
+                    stride=self.stride, fmt=self.fmt,
+                )
+                n = min(n, stop - start)
+                with self._cond:
+                    self._results[chunk_idx] = (start, (n, crops, None))
+                    self._cond.notify_all()
+        finally:
+            dec.close()
+
+    def __iter__(self):
+        for idx in range(self.num_chunks):
+            with self._cond:
+                while idx not in self._results:
+                    if self._error is not None:
+                        raise self._error
+                    self._cond.wait()
+                item = self._results.pop(idx)
+                self._next_emit = idx + 1
+                self._cond.notify_all()
+            yield item
+
+
 def boxes_from_log(label_path, num_frames=None, log_offset=0):
     """Per-frame two-fighter boxes [F, 2, 4] from an ult_logger log via
     batched camera projection (no detector needed)."""
@@ -215,13 +310,39 @@ class VodAnalyzer:
 
     def __init__(self, pipeline: BatchedActionPipeline | None = None, variables=None,
                  window=384, padding=30, chunk=48, decode_workers=None,
-                 host_resize=True, mesh=None):
+                 host_resize=True, mesh=None, decode_backend="auto", lowres=0,
+                 stride=1, transfer_format="auto"):
         self.pipeline = pipeline or BatchedActionPipeline(family="cnn")
         self.variables = variables
         self.window = window
         self.padding = padding
         self.chunk = chunk
         self.decode_workers = decode_workers
+        # decode_backend: "native" = libavcodec crop-extracting decoder (no
+        # full-frame BGR conversion, optional lowres fractional decode),
+        # "cv2" = VideoCapture path, "auto" = native when the library
+        # builds and host_resize is on.
+        self.decode_backend = decode_backend
+        # lowres: decode at 1/2^lowres resolution on codecs that support it
+        # (mpeg4 yes, h264 no — silently clamped).  Crops are resampled to
+        # the model's 128px input either way; label agreement is validated
+        # by tests (tests/test_native_decoder.py).
+        self.lowres = lowres
+        # stride: classify every stride-th frame and propagate its label to
+        # the frames in between (the reference's own GT videos are 30 fps
+        # against a 60 fps log — reference: dataset_utils.py:94 — so
+        # stride=2 matches its effective temporal resolution).  Middle-out
+        # window offsets then count sampled frames, i.e. the effective
+        # frame_delta in real frames is stride * frame_delta.
+        if stride > 1 and chunk % stride != 0:
+            raise ValueError(f"chunk ({chunk}) must be divisible by stride ({stride})")
+        self.stride = stride
+        # transfer_format: "yuv420" ships packed 4:2:0 crops (half the
+        # host->device bytes; BT.601 conversion runs fused on device),
+        # "bgr" ships BGR24, "auto" picks yuv420 whenever the native
+        # decoder handles the decode.  Only the native backend can produce
+        # yuv420.
+        self.transfer_format = transfer_format
         # Optional jax.sharding.Mesh: chunk batches shard over its 'data'
         # axis (weights replicated), so embedding fans out across chips
         # with XLA inserting the collectives.  chunk*2 must divide by the
@@ -263,16 +384,35 @@ class VodAnalyzer:
 
         chunk = self.chunk
         crop_size = self.pipeline.crop_size
+        stride = self.stride
+        if stride > 1 and not self.host_resize:
+            raise ValueError("stride>1 requires host_resize=True")
+
+        use_native = False
+        if self.host_resize and self.decode_backend in ("auto", "native"):
+            from playaid_core_tpu.video import native_decoder
+
+            use_native = native_decoder.available()
+            if not use_native and self.decode_backend == "native":
+                raise RuntimeError("native decode backend requested but unavailable")
+        fmt = self.transfer_format
+        if fmt == "auto":
+            fmt = "yuv420" if use_native else "bgr"
+        if fmt == "yuv420" and not use_native:
+            raise ValueError("transfer_format='yuv420' requires the native decoder")
 
         if self.host_resize:
             def transform(i, frame):
+                if i % stride != 0:
+                    return None
                 return extract_crops(frame, boxes[i], crop_size, self.padding)
 
             def collate(start, items):
                 n = len(items)
                 crops = np.zeros((chunk, 2, crop_size, crop_size, 3), np.uint8)
                 for j, c in enumerate(items):
-                    crops[j] = c
+                    if c is not None:
+                        crops[j] = c
                 return n, crops, None
         else:
             def transform(i, frame):
@@ -314,19 +454,31 @@ class VodAnalyzer:
 
         t0 = time.time()
         decoded = 0
-        decoder = BoundedSegmentDecoder(
-            video_path, f_total, self.chunk, transform, workers=self.decode_workers,
-            collate=collate,
-        )
+        if use_native:
+            decoder = NativeChunkDecoder(
+                video_path, f_total, self.chunk, boxes, crop_size, self.padding,
+                workers=self.decode_workers, lowres=self.lowres, stride=stride,
+                fmt=fmt,
+            )
+        else:
+            decoder = BoundedSegmentDecoder(
+                video_path, f_total, self.chunk, transform,
+                workers=self.decode_workers, collate=collate,
+            )
         import contextlib
 
         mesh_ctx = self.mesh if self.mesh is not None else contextlib.nullcontext()
+        # With stride, only every stride-th frame's crops are embedded and
+        # classified; the buffer is indexed by sampled position.
+        samples_per_chunk = chunk // stride
         with mesh_ctx:
             # Chunk embeddings accumulate into one preallocated (bucketed)
             # device buffer via a single reusable scatter program, so
             # program count and argument size stay constant regardless of
             # VOD length (a chunk-tuple epilogue would grow with the video).
-            buf = self.pipeline.make_embedding_buffer(decoder.num_chunks * chunk)
+            buf = self.pipeline.make_embedding_buffer(
+                decoder.num_chunks * samples_per_chunk
+            )
             if replicated_sharding is not None:
                 buf = jax.device_put(buf, replicated_sharding)
             # The labeled extent is the highest frame index written, not
@@ -337,16 +489,30 @@ class VodAnalyzer:
                 if n == 0:
                     continue
                 if self.host_resize:
-                    flat = wins.reshape((chunk * 2,) + wins.shape[2:])
-                    emb = self.pipeline.embed_crops_u8(self.variables, to_device(flat))
+                    sampled = wins[::stride] if stride > 1 else wins
+                    flat = sampled.reshape(
+                        (samples_per_chunk * 2,) + sampled.shape[2:]
+                    )
+                    if fmt == "yuv420":
+                        emb = self.pipeline.embed_crops_yuv(
+                            self.variables, to_device(flat)
+                        )
+                    else:
+                        emb = self.pipeline.embed_crops_u8(
+                            self.variables, to_device(flat)
+                        )
                 else:
                     emb = self._resize_embed(wins, origins)
-                buf = scatter_fn(buf, emb, start * 2)
+                buf = scatter_fn(buf, emb, (start // stride) * 2)
                 decoded += n
-                extent = max(extent, start + n)
+                extent = max(extent, (start + n + stride - 1) // stride)
 
             labels, conf = self.pipeline.classify_buffer(self.variables, buf, extent)
             labels, conf = jax.device_get((labels, conf))
+        if stride > 1:
+            # Propagate each sampled frame's label to the frames in between.
+            labels = np.repeat(np.asarray(labels), stride, axis=0)[:f_total]
+            conf = np.repeat(np.asarray(conf), stride, axis=0)[:f_total]
         elapsed = time.time() - t0
         return {
             "labels": np.asarray(labels),        # [F, 2]
@@ -369,7 +535,15 @@ def main():
     @click.option("--out", "-o", default=None, help="write labels CSV here")
     @click.option("--checkpoint", "-c", default=None,
                   help="orbax checkpoint dir (Trainer format)")
-    def analyze_vod(video, log_path, family, frames, out, checkpoint):
+    @click.option("--backend", default="auto",
+                  type=click.Choice(["auto", "native", "cv2"]),
+                  help="decode backend (native = libavcodec crop extractor)")
+    @click.option("--lowres", default=0, type=int,
+                  help="fractional decode 1/2^n where the codec supports it")
+    @click.option("--stride", default=1, type=int,
+                  help="classify every stride-th frame, propagate labels")
+    def analyze_vod(video, log_path, family, frames, out, checkpoint,
+                    backend, lowres, stride):
         """Batched TPU action recognition over a full VOD, with fighter
         boxes projected from the log (detection-free)."""
         from playaid_core_tpu.ontology import CLASS_ID_TO_MOVE
@@ -377,7 +551,9 @@ def main():
         boxes = boxes_from_log(log_path, num_frames=frames)
         pipe = BatchedActionPipeline(family=family)
         variables = pipe.load_checkpoint(checkpoint) if checkpoint else None
-        analyzer = VodAnalyzer(pipe, variables=variables)
+        analyzer = VodAnalyzer(pipe, variables=variables,
+                               decode_backend=backend, lowres=lowres,
+                               stride=stride)
         result = analyzer.analyze(video, boxes)
         print(f"{result['frames']} frames in {result['seconds']:.2f}s "
               f"({result['fps']:.1f} fps)")

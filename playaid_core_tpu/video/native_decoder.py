@@ -1,0 +1,174 @@
+"""ctypes bindings for the native crop-extracting VOD decoder.
+
+Wraps ``native/video_decoder.cpp`` (build-on-demand like the log parser,
+see :mod:`playaid_core_tpu.native`): one C call decodes a whole chunk of
+frames and fills a preallocated ``[n, K, S, S, 3]`` uint8 BGR crop buffer,
+converting ONLY the crop regions from YUV (cv2's ``read()`` converts the
+full 1080p frame to BGR first — that conversion costs as much as the
+decode itself and is pure waste when the model consumes two 128px crops).
+
+Optional ``lowres`` decodes at 1/2^n resolution on codecs that support it
+(mpeg4 yes, h264 no — the library clamps to the codec's ``max_lowres``
+so requesting it is always safe).
+
+Falls back cleanly: ``available()`` is False when ffmpeg dev libraries or
+a compiler are missing, and callers use the cv2 path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+_SRC = os.path.join(_REPO_ROOT, "native", "video_decoder.cpp")
+_CACHE_DIR = os.environ.get(
+    "PLAYAID_NATIVE_CACHE", os.path.join(tempfile.gettempdir(), "playaid_native")
+)
+
+_lib = None
+_build_failed = False
+
+
+def _build_library():
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    so_path = os.path.join(_CACHE_DIR, "libvideodecoder.so")
+    if os.path.exists(so_path) and os.path.getmtime(so_path) >= os.path.getmtime(_SRC):
+        return so_path
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-o", so_path, _SRC,
+        "-lavformat", "-lavcodec", "-lavutil", "-lswscale",
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return so_path
+
+
+def get_library():
+    global _lib, _build_failed
+    if _lib is not None or _build_failed:
+        return _lib
+    try:
+        lib = ctypes.CDLL(_build_library())
+        lib.vd_open.restype = ctypes.c_void_p
+        lib.vd_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.vd_full_width.restype = ctypes.c_int
+        lib.vd_full_width.argtypes = [ctypes.c_void_p]
+        lib.vd_full_height.restype = ctypes.c_int
+        lib.vd_full_height.argtypes = [ctypes.c_void_p]
+        lib.vd_lowres.restype = ctypes.c_int
+        lib.vd_lowres.argtypes = [ctypes.c_void_p]
+        lib.vd_fps.restype = ctypes.c_double
+        lib.vd_fps.argtypes = [ctypes.c_void_p]
+        lib.vd_num_frames.restype = ctypes.c_long
+        lib.vd_num_frames.argtypes = [ctypes.c_void_p]
+        lib.vd_decode_crops_fmt.restype = ctypes.c_long
+        lib.vd_decode_crops_fmt.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_ubyte),
+        ]
+        lib.vd_close.restype = None
+        lib.vd_close.argtypes = [ctypes.c_void_p]
+        _lib = lib
+    except Exception:
+        _build_failed = True
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return get_library() is not None
+
+
+class NativeVideoDecoder:
+    """Sequential/seekable decoder producing letterboxed BGR crops.
+
+    Geometry matches ``YoloCrop.square_crop`` / ``extract_crops``
+    (reference: fighter.py:323-381) so labels agree with the cv2 path.
+    """
+
+    def __init__(self, path, lowres=0):
+        lib = get_library()
+        if lib is None:
+            raise RuntimeError("native video decoder unavailable")
+        self._lib = lib
+        self._h = lib.vd_open(path.encode(), int(lowres))
+        if not self._h:
+            raise RuntimeError(f"could not open video: {path}")
+
+    @property
+    def width(self):
+        return self._lib.vd_full_width(self._h)
+
+    @property
+    def height(self):
+        return self._lib.vd_full_height(self._h)
+
+    @property
+    def lowres(self):
+        return self._lib.vd_lowres(self._h)
+
+    @property
+    def fps(self):
+        return self._lib.vd_fps(self._h)
+
+    @property
+    def num_frames(self):
+        return self._lib.vd_num_frames(self._h)
+
+    def decode_crops(self, start, boxes, out_size=128, padding=30, stride=1,
+                     out=None, fmt="bgr"):
+        """Decode ``boxes.shape[0]`` frames from ``start`` and extract
+        ``boxes.shape[1]`` crops per (strided) frame.
+
+        boxes: [n, K, 4] float32 normalized (cx, cy, w, h).
+        fmt "bgr": returns (decoded_count, crops [n, K, S, S, 3] uint8 BGR).
+        fmt "yuv420": returns (decoded_count, crops [n, K, S*S*3//2] uint8
+        packed planar Y/U/V) — half the bytes for the host->device link;
+        convert on device (BT.601 limited range).  Skipped or out-of-frame
+        regions are black in both formats.
+        """
+        boxes = np.ascontiguousarray(boxes, dtype=np.float32)
+        n, k = boxes.shape[0], boxes.shape[1]
+        fmt_i = {"bgr": 0, "yuv420": 1}[fmt]
+        shape = (
+            (n, k, out_size, out_size, 3) if fmt_i == 0
+            else (n, k, out_size * out_size * 3 // 2)
+        )
+        if out is None:
+            out = np.zeros(shape, np.uint8)
+        else:
+            out[:] = 0
+        decoded = self._lib.vd_decode_crops_fmt(
+            self._h, int(start), int(n),
+            boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), int(k),
+            int(padding), int(out_size), int(stride), fmt_i,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        )
+        if decoded < 0:
+            raise RuntimeError(f"decode error at frame {start}: {decoded}")
+        return int(decoded), out
+
+    def close(self):
+        if self._h:
+            self._lib.vd_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

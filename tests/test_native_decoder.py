@@ -1,0 +1,256 @@
+"""Native (libavcodec) crop-extracting decoder: geometry + pipeline parity.
+
+The native decoder must produce crops matching the cv2 host path
+(``extract_crops``, YoloCrop.square_crop semantics — reference:
+fighter.py:323-381) closely enough that downstream labels agree, and the
+VodAnalyzer stride mode must propagate sampled labels correctly.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from playaid_core_tpu.video import native_decoder
+
+pytestmark = pytest.mark.skipif(
+    not native_decoder.available(), reason="native video decoder unavailable"
+)
+
+
+@pytest.fixture(scope="module")
+def video(tmp_path_factory):
+    """Small mp4v clip with two moving high-contrast blobs + boxes."""
+    path = str(tmp_path_factory.mktemp("vid") / "clip.mp4")
+    w, h, n = 640, 360, 60
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 60, (w, h))
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 50, (h, w, 3), dtype=np.uint8)
+    boxes = np.zeros((n, 2, 4), np.float32)
+    for i in range(n):
+        frame = base.copy()
+        x0 = 0.25 + 0.4 * i / n
+        x1 = 0.75 - 0.4 * i / n
+        cv2.circle(frame, (int(x0 * w), h // 2), 40, (0, 220, 255), -1)
+        cv2.circle(frame, (int(x1 * w), h // 2 + 30), 40, (255, 120, 0), -1)
+        writer.write(frame)
+        boxes[i, 0] = (x0, 0.5, 100 / w, 100 / h)
+        boxes[i, 1] = (x1, 0.5 + 30 / h, 100 / w, 100 / h)
+    writer.release()
+    return path, boxes
+
+
+def _cv2_crops(path, boxes, out_size=128, padding=30):
+    from playaid_core_tpu.infer.vod_pipeline import extract_crops
+
+    cap = cv2.VideoCapture(path)
+    out = []
+    for i in range(boxes.shape[0]):
+        ok, frame = cap.read()
+        assert ok
+        out.append(extract_crops(frame, boxes[i], out_size, padding))
+    cap.release()
+    return np.stack(out)
+
+
+def test_metadata(video):
+    path, boxes = video
+    with native_decoder.NativeVideoDecoder(path) as dec:
+        assert (dec.width, dec.height) == (640, 360)
+        assert abs(dec.fps - 60.0) < 0.5
+        assert dec.num_frames == 60
+
+
+def test_crops_match_cv2_path(video):
+    path, boxes = video
+    ref = _cv2_crops(path, boxes)
+    with native_decoder.NativeVideoDecoder(path) as dec:
+        n, crops = dec.decode_crops(0, boxes, 128, 30)
+    assert n == 60
+    # The YUV->BGR conversion is bit-exact (verified at 1:1 scale); the
+    # residual is SWS_AREA vs cv2.INTER_AREA resampling phase, which only
+    # shows at high-contrast edges.  The embedding-similarity test below is
+    # the functional gate.
+    diff = np.abs(ref.astype(np.int16) - crops.astype(np.int16))
+    assert diff.mean() < 5.0, diff.mean()
+    assert np.median(diff) <= 3.0
+
+
+def test_seek_matches_sequential(video):
+    path, boxes = video
+    with native_decoder.NativeVideoDecoder(path) as dec:
+        _, seq = dec.decode_crops(0, boxes, 128, 30)
+    with native_decoder.NativeVideoDecoder(path) as dec:
+        n, part = dec.decode_crops(30, boxes[30:], 128, 30)
+    assert n == 30
+    diff = np.abs(seq[30:].astype(np.int16) - part.astype(np.int16))
+    assert diff.mean() < 1.0
+
+
+def test_lowres_crops_close(video):
+    """Half-resolution decode feeds the same 128px model input closely
+    enough for label agreement (validated here at the pixel level)."""
+    path, boxes = video
+    with native_decoder.NativeVideoDecoder(path, lowres=1) as dec:
+        assert dec.lowres == 1
+        n, crops_lr = dec.decode_crops(0, boxes, 128, 30)
+    ref = _cv2_crops(path, boxes)
+    assert n == 60
+    diff = np.abs(ref.astype(np.int16) - crops_lr.astype(np.int16))
+    # Lowres loses high-frequency detail; content must still match.
+    # The fixture's random-noise background is the worst case for
+    # half-resolution reconstruction (pure high frequency).
+    assert diff.mean() < 10.0, diff.mean()
+    assert np.median(diff) <= 6.0
+
+
+def test_out_of_frame_letterbox(video):
+    """Boxes hanging off the frame edge letterbox black, like the cv2
+    path (YoloCrop.square_crop out-of-frame fill)."""
+    path, _ = video
+    boxes = np.zeros((4, 1, 4), np.float32)
+    boxes[:, 0] = (0.02, 0.05, 0.2, 0.25)  # mostly off the top-left
+    ref = _cv2_crops(path, boxes)[..., 0, :, :, :]
+    with native_decoder.NativeVideoDecoder(path) as dec:
+        n, crops = dec.decode_crops(0, boxes, 128, 30)
+    diff = np.abs(ref.astype(np.int16) - crops[:, 0].astype(np.int16))
+    assert diff.mean() < 3.0, diff.mean()
+
+
+def test_stride_skips_extraction(video):
+    path, boxes = video
+    with native_decoder.NativeVideoDecoder(path) as dec:
+        n, crops = dec.decode_crops(0, boxes, 128, 30, stride=2)
+    assert n == 60
+    assert crops[1::2].max() == 0  # skipped frames stay black
+    assert crops[0::2].max() > 0
+
+
+def test_yuv420_format_matches_bgr(video):
+    """The packed YUV420 transfer format reconstructs to the same RGB as
+    the BGR format (up to 4:2:0 chroma subsampling at color edges)."""
+    path, boxes = video
+    with native_decoder.NativeVideoDecoder(path) as dec:
+        _, bgr = dec.decode_crops(0, boxes, 128, 30)
+    with native_decoder.NativeVideoDecoder(path) as dec:
+        n, yuv = dec.decode_crops(0, boxes, 128, 30, fmt="yuv420")
+    assert n == 60
+    assert yuv.shape == (60, 2, 128 * 128 * 3 // 2)
+    # Reconstruct on host with the same BT.601 limited-range math the
+    # device applies.
+    s, yb, cb = 128, 128 * 128, 64 * 64
+    y = yuv[..., :yb].reshape(60, 2, s, s).astype(np.float32)
+    u = yuv[..., yb:yb + cb].reshape(60, 2, s // 2, s // 2).astype(np.float32)
+    v = yuv[..., yb + cb:].reshape(60, 2, s // 2, s // 2).astype(np.float32)
+    u = np.repeat(np.repeat(u, 2, axis=2), 2, axis=3)
+    v = np.repeat(np.repeat(v, 2, axis=2), 2, axis=3)
+    yc = 1.164383 * (y - 16.0)
+    r = yc + 1.596027 * (v - 128.0)
+    g = yc - 0.391762 * (u - 128.0) - 0.812968 * (v - 128.0)
+    b = yc + 2.017232 * (u - 128.0)
+    rgb = np.clip(np.stack([b, g, r], axis=-1), 0, 255)  # compare as BGR
+    diff = np.abs(rgb - bgr.astype(np.float32))
+    assert diff.mean() < 4.0, diff.mean()
+    # Letterbox black must match exactly (prefill Y=16, U=V=128).
+    assert float(rgb[0, 0, 0, 0, 0]) == pytest.approx(float(bgr[0, 0, 0, 0, 0]), abs=3)
+
+
+class TestVodAnalyzerNative:
+    @pytest.fixture(scope="class")
+    def pipeline(self):
+        import jax
+        from playaid_core_tpu.infer.pipeline import BatchedActionPipeline
+
+        pipe = BatchedActionPipeline(family="cnn", num_actions=16,
+                                     sequence_length=5, frame_delta=2)
+        variables = pipe.init(jax.random.PRNGKey(0))
+        return pipe, variables
+
+    def test_embeddings_match_cv2_backend(self, video, pipeline):
+        """Same VOD through the native and cv2 decode backends produces
+        near-identical embeddings (labels therefore agree except at
+        decision boundaries)."""
+        import jax.numpy as jnp
+        from playaid_core_tpu.infer.vod_pipeline import VodAnalyzer
+
+        path, boxes = video
+        pipe, variables = pipeline
+        ref = _cv2_crops(path, boxes)
+        with native_decoder.NativeVideoDecoder(path) as dec:
+            _, crops = dec.decode_crops(0, boxes, 128, 30)
+        e1 = np.asarray(pipe.embed_crops_u8(
+            variables, jnp.asarray(ref.reshape(-1, 128, 128, 3))))
+        e2 = np.asarray(pipe.embed_crops_u8(
+            variables, jnp.asarray(crops.reshape(-1, 128, 128, 3))))
+        num = (e1 * e2).sum(-1)
+        den = np.linalg.norm(e1, axis=-1) * np.linalg.norm(e2, axis=-1) + 1e-9
+        assert (num / den).min() > 0.995
+
+    def test_native_backend_runs_and_labels_shape(self, video, pipeline):
+        from playaid_core_tpu.infer.vod_pipeline import VodAnalyzer
+
+        path, boxes = video
+        pipe, variables = pipeline
+        analyzer = VodAnalyzer(pipe, variables=variables, chunk=12,
+                               decode_backend="native")
+        result = analyzer.analyze(path, boxes)
+        assert result["labels"].shape == (60, 2)
+        assert result["frames"] == 60
+
+    def test_yuv_transfer_embeddings_match(self, video, pipeline):
+        """YUV420 transfer + device conversion gives embeddings matching
+        the BGR-transfer path."""
+        import jax.numpy as jnp
+
+        path, boxes = video
+        pipe, variables = pipeline
+        with native_decoder.NativeVideoDecoder(path) as dec:
+            _, bgr = dec.decode_crops(0, boxes, 128, 30)
+        with native_decoder.NativeVideoDecoder(path) as dec:
+            _, yuv = dec.decode_crops(0, boxes, 128, 30, fmt="yuv420")
+        e1 = np.asarray(pipe.embed_crops_u8(
+            variables, jnp.asarray(bgr.reshape(-1, 128, 128, 3))))
+        e2 = np.asarray(pipe.embed_crops_yuv(
+            variables, jnp.asarray(yuv.reshape(-1, 128 * 128 * 3 // 2))))
+        num = (e1 * e2).sum(-1)
+        den = np.linalg.norm(e1, axis=-1) * np.linalg.norm(e2, axis=-1) + 1e-9
+        assert (num / den).min() > 0.995
+
+    def test_yuv_transfer_analyze(self, video, pipeline):
+        from playaid_core_tpu.infer.vod_pipeline import VodAnalyzer
+
+        path, boxes = video
+        pipe, variables = pipeline
+        analyzer = VodAnalyzer(pipe, variables=variables, chunk=12,
+                               decode_backend="native",
+                               transfer_format="yuv420")
+        result = analyzer.analyze(path, boxes)
+        assert result["labels"].shape == (60, 2)
+        assert result["frames"] == 60
+
+    def test_stride_label_propagation(self, video, pipeline):
+        """stride=2 labels are the sampled frames' labels, propagated."""
+        from playaid_core_tpu.infer.vod_pipeline import VodAnalyzer
+
+        path, boxes = video
+        pipe, variables = pipeline
+        analyzer = VodAnalyzer(pipe, variables=variables, chunk=12,
+                               decode_backend="native", stride=2)
+        result = analyzer.analyze(path, boxes)
+        labels = result["labels"]
+        assert labels.shape == (60, 2)
+        assert np.array_equal(labels[0::2], labels[1::2])
+
+    def test_stride_cv2_backend(self, video, pipeline):
+        from playaid_core_tpu.infer.vod_pipeline import VodAnalyzer
+
+        path, boxes = video
+        pipe, variables = pipeline
+        analyzer = VodAnalyzer(pipe, variables=variables, chunk=12,
+                               decode_backend="cv2", stride=2)
+        result = analyzer.analyze(path, boxes)
+        labels = result["labels"]
+        assert labels.shape == (60, 2)
+        assert np.array_equal(labels[0::2], labels[1::2])
