@@ -144,6 +144,11 @@ class TrainerConfig:
     curriculum_threshold: float = 0.85
     checkpoint_dir: Optional[str] = None
     log_path: Optional[str] = None
+    # Optional TensorBoard event dir (reference logged to
+    # `logs/action_recog/<name>` via Lightning's TensorBoardLogger,
+    # reference: action_detector.py:59-61).  Requires a tensorboard
+    # writer implementation (torch's is used when importable).
+    tensorboard_dir: Optional[str] = None
     dtype: Any = jnp.float32
 
 
@@ -165,6 +170,14 @@ class Trainer:
         self.eval_step = make_eval_step(self.model, self.loss_fn)
         self.state = None
         self.metrics_log = []
+        self._tb_writer = None
+        if config.tensorboard_dir:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb_writer = SummaryWriter(config.tensorboard_dir)
+            except Exception:
+                self._tb_writer = None  # JSONL log remains authoritative
 
     def init_state(self, rng=None):
         rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -188,6 +201,12 @@ class Trainer:
             os.makedirs(os.path.dirname(self.config.log_path), exist_ok=True)
             with open(self.config.log_path, "a") as f:
                 f.write(json.dumps(record) + "\n")
+        if self._tb_writer is not None:
+            step = record.get("epoch", len(self.metrics_log))
+            for key, value in record.items():
+                if isinstance(value, (int, float)) and key != "epoch":
+                    self._tb_writer.add_scalar(key, value, step)
+            self._tb_writer.flush()
 
     def fit(self, num_epochs=None, steps_per_epoch=None, seed=0):
         if self.state is None:
@@ -316,8 +335,10 @@ class Trainer:
               help="frame delta")
 @click.option("--model_parallel", default=1, type=int, help="model-parallel mesh axis size")
 @click.option("--bf16", is_flag=True, help="bfloat16 compute")
+@click.option("--tensorboard", is_flag=True,
+              help="also write TensorBoard events next to the JSONL log")
 def train(ckpt, fighters, family, batch_size, num_epochs, name, num_samples,
-          num_frames_per_sample, frame_delta, model_parallel, bf16):
+          num_frames_per_sample, frame_delta, model_parallel, bf16, tensorboard):
     """Train CLI (reference: action_detector.py:16-81)."""
     actions = list(MOVE_TO_CLASS_ID.keys())
     char_subset = list(fighters)
@@ -349,6 +370,10 @@ def train(ckpt, fighters, family, batch_size, num_epochs, name, num_samples,
         model_parallel=model_parallel,
         checkpoint_dir=os.path.join(constants.SAVED_ACTION_MODELS, name),
         log_path=os.path.join(constants.ACTION_RECOG_OUTPUT_DIR, name, "metrics.jsonl"),
+        tensorboard_dir=(
+            os.path.join(constants.ACTION_RECOG_OUTPUT_DIR, name, "tb")
+            if tensorboard else None
+        ),
         dtype=jnp.bfloat16 if bf16 else jnp.float32,
     )
     trainer = Trainer(config, train_ds, val_ds)
