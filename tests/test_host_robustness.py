@@ -59,6 +59,44 @@ def test_add_audio_graceful_without_audio_stream(tmp_path):
     del ffmpeg_available
 
 
+def test_add_audio_success_path_with_stubbed_ffmpeg(tmp_path, monkeypatch):
+    """Exercise the remux SUCCESS path without an ffmpeg binary: stub the
+    subprocess, assert the reference's remux command semantics
+    (-c:v copy, -map 0:v:0 -map 1:a:0 -shortest — reference:
+    manuscript.py:256-276) and the tmp->output move."""
+    from playaid_core_tpu.video import writer as writer_mod
+
+    video = tmp_path / "src.mp4"
+    out = tmp_path / "out.mp4"
+    _make_video(video, 3)
+    _make_video(out, 3)
+
+    seen = {}
+
+    def fake_run(command, capture_output=True, **kwargs):
+        seen["command"] = command
+        with open(command[-1], "wb") as f:
+            f.write(b"remuxed")
+
+        class R:
+            returncode = 0
+            stderr = b""
+
+        return R()
+
+    monkeypatch.setattr(writer_mod.shutil, "which", lambda name: "/usr/bin/ffmpeg")
+    monkeypatch.setattr(writer_mod.subprocess, "run", fake_run)
+
+    assert writer_mod.add_audio(str(out), str(video)) is True
+    cmd = seen["command"]
+    assert cmd[0] == "ffmpeg"
+    assert cmd[cmd.index("-i") + 1] == str(out)  # rendered video first
+    joined = " ".join(cmd)
+    for semantics in ("-c:v copy", "-map 0:v:0", "-map 1:a:0", "-shortest"):
+        assert semantics in joined, joined
+    assert open(out, "rb").read() == b"remuxed"  # tmp moved over the output
+
+
 def test_charts_render_concurrently(tmp_path):
     """The Figure-API chart stack renders correctly from multiple threads
     (the pyplot global registry would race here)."""
