@@ -84,10 +84,17 @@ class BackgroundIterator:
         except BaseException as e:  # propagate into the consumer
             self._error = e
         finally:
-            try:
-                self._queue.put_nowait(self._SENTINEL)
-            except queue.Full:
-                pass
+            # The sentinel MUST reach the consumer: a put_nowait here gets
+            # dropped whenever the queue is still full of pending batches
+            # (fast producer + slow device), leaving the consumer blocked
+            # in get() forever after draining them.  Block-put with the
+            # same stopped-poll the item path uses.
+            while not self._stopped.is_set():
+                try:
+                    self._queue.put(self._SENTINEL, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
 
     def close(self):
         self._stopped.set()

@@ -56,11 +56,13 @@ class DetectionDataset:
         return image_path.replace(os.sep + "images" + os.sep,
                                   os.sep + "labels" + os.sep).replace(".jpg", ".txt")
 
-    def sample(self):
+    def sample(self, uint8=False):
         path = self.images[int(self.rng.integers(0, len(self.images)))]
         img = cv2.imread(path)
         img = cv2.resize(img, (self.input_w, self.input_h))
-        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        if not uint8:
+            img = img.astype(np.float32) / 255.0
 
         boxes = np.zeros((self.max_boxes, 4), np.float32)
         classes = np.zeros((self.max_boxes,), np.int32)
@@ -80,11 +82,13 @@ class DetectionDataset:
         )
         return img, (heat, size, offset, mask), (boxes, classes, valid)
 
-    def batches(self, batch_size, num_batches):
+    def batches(self, batch_size, num_batches, uint8=True):
+        """uint8 batches by default: images convert to float on device
+        (4x fewer bytes over the host->device link)."""
         for _ in range(num_batches):
             imgs, heats, sizes, offsets, masks = [], [], [], [], []
             for _ in range(batch_size):
-                img, (heat, size, offset, mask), _ = self.sample()
+                img, (heat, size, offset, mask), _ = self.sample(uint8=uint8)
                 imgs.append(img)
                 heats.append(heat)
                 sizes.append(size)
@@ -99,6 +103,12 @@ class DetectionDataset:
 def make_detector_train_step(model):
     @jax.jit
     def train_step(state, images, targets):
+        # uint8 batches convert on device: shipping uint8 costs 4x fewer
+        # host->device bytes (the tunnel link is the training bottleneck
+        # on 1-core hosts).
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0
+
         def compute_loss(params):
             outputs, updates = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -133,14 +143,18 @@ class DetectorTrainer:
             tx=optax.adam(learning_rate),
         )
         self.train_step = make_detector_train_step(self.model)
-        self._apply_jit = jax.jit(
-            lambda params, stats, images: self.model.apply(
+        def _apply(params, stats, images):
+            if images.dtype == jnp.uint8:
+                images = images.astype(jnp.float32) / 255.0
+            return self.model.apply(
                 {"params": params, "batch_stats": stats}, images, train=False
             )
-        )
+
+        self._apply_jit = jax.jit(_apply)
         self.metrics_log = []
 
-    def fit(self, num_steps, batch_size=8, log_every=20, log_path=None):
+    def fit(self, num_steps, batch_size=8, log_every=20, log_path=None,
+            verbose=False):
         start = time.time()
         batches = BackgroundIterator(
             self.dataset.batches(batch_size, num_steps), maxsize=4
@@ -158,6 +172,9 @@ class DetectorTrainer:
                     "seconds": round(time.time() - start, 1),
                 }
                 self.metrics_log.append(rec)
+                if verbose:
+                    print(f"detector step {rec['step']}: loss {rec['loss']:.4f} "
+                          f"({rec['seconds']}s)", flush=True)
                 if log_path:
                     with open(log_path, "a") as f:
                         f.write(json.dumps(rec) + "\n")
@@ -169,7 +186,7 @@ class DetectorTrainer:
         b = images_u8.shape[0]
         resized = np.stack([
             cv2.resize(img, (self.input_hw[1], self.input_hw[0])) for img in images_u8
-        ]).astype(np.float32) / 255.0
+        ])  # stays uint8: 4x fewer bytes to the device; converts on-chip
         outputs = self._apply_jit(
             self.state.params, self.state.batch_stats, jnp.asarray(resized)
         )

@@ -90,6 +90,32 @@ def test_background_iterator():
     assert out == list(range(10))
 
 
+def test_background_iterator_slow_consumer_terminates():
+    """Regression: when the producer finishes while the queue is still
+    FULL (fast producer, slow consumer — the trainer-through-tunnel
+    shape), the end-of-iteration sentinel must still reach the consumer.
+    The old put_nowait dropped it and the consumer deadlocked in get()
+    after draining the pending batches."""
+    import threading
+    import time
+
+    it = BackgroundIterator(range(3), maxsize=2)
+    time.sleep(0.5)  # let the producer fill the queue and hit its finally
+
+    out = []
+
+    def consume():
+        for x in it:
+            out.append(x)
+            time.sleep(0.05)  # stay slower than the producer
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    t.join(timeout=10.0)
+    assert not t.is_alive(), "consumer deadlocked waiting for the sentinel"
+    assert out == [0, 1, 2]
+
+
 def test_background_iterator_propagates_errors():
     def gen():
         yield 1

@@ -150,7 +150,7 @@ def run_demo(workdir, det_steps=600, act_epochs=5, act_steps=24, eval_frames=240
     print("training detector...")
     det_trainer = DetectorTrainer(det_ds, num_classes=len(constants.CHAR_LIST),
                                   input_hw=(256, 448), dtype=jnp.bfloat16)
-    det_trainer.fit(det_steps, batch_size=8, log_every=100)
+    det_trainer.fit(det_steps, batch_size=8, log_every=100, verbose=True)
     print("detector loss:", [round(r["loss"], 3) for r in det_trainer.metrics_log])
 
     # --- 2) action model training ---
