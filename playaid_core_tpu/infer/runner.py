@@ -242,7 +242,14 @@ class AIRunner:
     # Batched action recognition (replaces reference: ai_runner.py:426-520)
     # ------------------------------------------------------------------
 
-    def _load_crop(self, path, output_size=128):
+    def _load_crop(self, path, output_size=None):
+        """Load a cached crop at the MODEL's input size.  output_size must
+        track pipeline.crop_size: a fixed 128 here silently fed 2x-scale
+        crops to models trained at other sizes (the ResNet's global pool
+        accepts any spatial size, so nothing crashed — accuracy just
+        collapsed; this was the round-1 pixels-capstone's 56%)."""
+        if output_size is None:
+            output_size = self.pipeline.crop_size
         frame = cv2.imread(path)
         assert frame is not None, f"Failed to read crop {path}"
         frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)

@@ -121,14 +121,18 @@ def get_character_actions_animations_dict(clean_char_dir=None):
 
 
 def load_and_composite_sprite(frame_path, stage_crop, synth_difficulty, rng,
-                              fill=1.0):
+                              fill=1.0, center_jitter=0):
     """Paste an (augmented) RGBA sprite mostly-centered onto a stage crop
     (reference: ult_action_dataset.py:97-136).
 
     ``fill`` scales the sprite to that fraction of the crop — matching
     deployment crops where detector boxes plus padding leave the sprite at
     ~80-95% of the window (a scale-only augmentation without the
-    difficulty pipeline's color scrambling).
+    difficulty pipeline's color scrambling).  ``center_jitter`` shifts the
+    paste position by up to that many pixels independently of the
+    difficulty pipeline: detector-predicted boxes center imperfectly, and
+    a model trained on exactly-centered sprites is brittle to those
+    shifts.
     """
     stage_crop = stage_crop.copy()
     width, height = stage_crop.size
@@ -150,6 +154,9 @@ def load_and_composite_sprite(frame_path, stage_crop, synth_difficulty, rng,
     if synth_difficulty:
         paste_x += int(rng.integers(-40, 41))
         paste_y += int(rng.integers(-40, 41))
+    elif center_jitter:
+        paste_x += int(rng.integers(-center_jitter, center_jitter + 1))
+        paste_y += int(rng.integers(-center_jitter, center_jitter + 1))
     stage_crop.paste(char_img, (paste_x, paste_y), char_img)
     return stage_crop
 
@@ -179,6 +186,7 @@ class UltActionRecogDataset:
         manual_ground_truth_video=None,
         manual_split="train",
         synth_sprite_fill=(1.0, 1.0),
+        synth_center_jitter=0,
     ):
         self.split = split
         self.num_samples = num_samples
@@ -191,6 +199,7 @@ class UltActionRecogDataset:
         self.synth_difficulty = synth_difficulty
         self.num_preceding_actions = num_preceding_actions
         self.synth_sprite_fill = synth_sprite_fill
+        self.synth_center_jitter = synth_center_jitter
         self.rng = np.random.default_rng(seed)
 
         self.num_frames_per_sample_options = (
@@ -393,7 +402,8 @@ class UltActionRecogDataset:
                 )
             fill = float(rng.uniform(*self.synth_sprite_fill))
             frame = load_and_composite_sprite(
-                frame_path, stage_cropped, self.synth_difficulty, rng, fill=fill
+                frame_path, stage_cropped, self.synth_difficulty, rng, fill=fill,
+                center_jitter=self.synth_center_jitter,
             )
             frames.append(np.array(frame))
 

@@ -120,6 +120,19 @@ def test_ai_runner_full_flow(runner_env, monkeypatch):
     assert dict(runner.ai_output_data["Pikachu"][0]) == before
 
 
+def test_load_crop_tracks_pipeline_size(runner_env, monkeypatch):
+    """Regression: cached crops must load at the MODEL's input size.  A
+    fixed 128 default silently fed 2x-scale crops to a crop_size=64 model
+    (the ResNet pools over any spatial size, so accuracy collapsed
+    instead of crashing)."""
+    d, video = runner_env
+    monkeypatch.setattr(constants, "AI_CACHE", str(d / "ai_cache"))
+    runner = _make_runner(d, video)  # pipeline crop_size=32
+    runner.run_detection_setup()
+    crop = runner._load_crop(runner.get_crop_path("Pikachu", 1))
+    assert crop.shape[:2] == (32, 32), crop.shape
+
+
 def test_manuscript_consumes_ai_output(runner_env, monkeypatch, tmp_path):
     d, video = runner_env
     monkeypatch.setattr(constants, "AI_CACHE", str(d / "ai_cache"))

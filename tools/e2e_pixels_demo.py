@@ -165,7 +165,10 @@ def run_demo(workdir, det_steps=600, act_epochs=5, act_steps=24, eval_frames=240
         # Scale-only augmentation: detector crops leave the sprite at
         # ~80-95% of the window; train across that range (the difficulty
         # pipeline's hue scrambling would erase this demo's color cues).
+        # Center jitter matches detector center error — exactly-centered
+        # training makes the classifier brittle to predicted-box offsets.
         synth_sprite_fill=(0.72, 1.0),
+        synth_center_jitter=8,
     )
     config = TrainerConfig(
         family="cnn", num_actions=len(ACTIONS), sequence_length=3, batch_size=16,

@@ -69,6 +69,23 @@ def main():
                    act_steps=act_steps, eval_frames=eval_frames)
     elapsed = time.time() - t0
 
+    # Persist both trained states for post-hoc diagnosis / reuse.
+    import pickle
+
+    import jax
+
+    with open(os.path.join(workdir, "trained_states.pkl"), "wb") as f:
+        pickle.dump({
+            "action": jax.device_get({
+                "params": out["act_trainer"].state.params,
+                "batch_stats": out["act_trainer"].state.batch_stats,
+            }),
+            "detector": jax.device_get({
+                "params": out["det_trainer"].state.params,
+                "batch_stats": out["det_trainer"].state.batch_stats,
+            }),
+        }, f)
+
     diag = diagnose(out)
     record = {
         "det_steps": det_steps,
