@@ -52,8 +52,16 @@ class AIRunner:
         pipeline: BatchedActionPipeline | None = None,
         variables=None,
         fighters=None,
+        crop_padding=30,
+        max_center_jump=0.08,
         **dataset_args,
     ):
+        # crop_padding: square_crop padding for re-cropped (interpolated)
+        # frames — must match the detector's crop framing (reference used a
+        # fixed 30, ai_runner.py:404).
+        # max_center_jump: per-frame normalized center-distance budget for
+        # the identity-continuity filter (see suppress_center_jumps);
+        # None/0 disables.
         self.input_video_path = input_video_path
         self.src_folder, self.file_name = os.path.split(input_video_path)
         self.video_name, _ = os.path.splitext(self.file_name)
@@ -74,6 +82,8 @@ class AIRunner:
         )
         self.variables = variables
 
+        self.crop_padding = crop_padding
+        self.max_center_jump = max_center_jump
         self.detector = detector or ExternalYoloDetector()
         res, self.ai_output_data = self.load_ai_output()
 
@@ -129,6 +139,8 @@ class AIRunner:
                     pass
 
         for fighter in self.fighters:
+            if self.max_center_jump:
+                self.suppress_center_jumps(fighter)
             self.clean_yolo_crops_for_fighter(fighter)
 
         # Tail fill: duplicate the last crop to the global max frame
@@ -163,6 +175,78 @@ class AIRunner:
 
         crop_paths = glob.glob(os.path.join(self.crops_dir, fighter, "*.jpg"))
         return sorted(crop_paths, key=extract_number_from_filename)
+
+    def _remove_fighter_line(self, label_path, fighter):
+        class_id = constants.CHAR_LIST.index(fighter)
+        crops = [c for c in read_yolo_crops(label_path) if c.class_id != class_id]
+        with open(label_path, "w") as f:
+            f.write("\n".join(str(c) for c in crops) + ("\n" if crops else ""))
+
+    def suppress_center_jumps(self, fighter, stable_n=8):
+        """Identity-continuity filter: reject detections whose center jumps
+        implausibly far from the previous accepted position.
+
+        The detector occasionally fires a fighter's class on the OTHER
+        fighter's location (a whole-screen jump between adjacent frames —
+        physically impossible at 60 fps).  Such frames are cleared so the
+        standard gap interpolation fills them from the surrounding good
+        detections.  Two disambiguators for long rejection runs:
+
+        * a rejected detection sitting on top of ANOTHER class's detection
+          in the same frame is an identity flip, never a teleport — it is
+          always rejected;
+        * otherwise, once ``stable_n`` consecutive rejected positions form
+          a mutually-consistent track, the new track is accepted
+          (re-anchor after KOs/respawns).
+
+        Extends the reference's nearest-to-previous duplicate suppression
+        (ai_runner.py:313-358) to single-detection outliers.
+        """
+        last = None
+        last_frame = None
+        pending = None  # (crop, frame) of the last rejected detection
+        pending_run = 0
+        for label_path in self.get_label_paths():
+            frame = extract_number_from_filename(label_path)
+            crop = read_fighter_yolo_crop(label_path, fighter)
+            if crop is None:
+                continue
+            if last is not None:
+                gap = max(frame - last_frame, 1)
+                allowed = self.max_center_jump * gap + 0.02
+                dist = abs(crop.center_x - last.center_x) + abs(
+                    crop.center_y - last.center_y
+                )
+                if dist > allowed:
+                    on_other = any(
+                        abs(crop.center_x - o.center_x)
+                        + abs(crop.center_y - o.center_y) < 0.04
+                        for o in read_yolo_crops(label_path)
+                        if o.class_id != crop.class_id
+                    )
+                    if on_other:
+                        pending, pending_run = None, 0
+                    else:
+                        consistent = pending is not None and (
+                            abs(crop.center_x - pending[0].center_x)
+                            + abs(crop.center_y - pending[0].center_y)
+                            <= self.max_center_jump
+                            * max(frame - pending[1], 1) + 0.02
+                        )
+                        pending_run = pending_run + 1 if consistent else 1
+                        pending = (crop, frame)
+                        if pending_run >= stable_n:
+                            # A stable new track: accept it (teleport).
+                            last, last_frame = crop, frame
+                            pending, pending_run = None, 0
+                            continue
+                    self._remove_fighter_line(label_path, fighter)
+                    crop_path = self.get_crop_path(fighter, frame)
+                    if os.path.exists(crop_path):
+                        os.unlink(crop_path)
+                    continue
+            last, last_frame = crop, frame
+            pending, pending_run = None, 0
 
     def clean_yolo_crops_for_fighter(self, fighter):
         """Duplicate suppression + gap interpolation
@@ -232,7 +316,10 @@ class AIRunner:
                             self.get_crop_path(fighter, j),
                         )
                         continue
-                    ok, crop = interp_crop.square_crop(input_frame, 128, padding=30)
+                    ok, crop = interp_crop.square_crop(
+                        input_frame, self.pipeline.crop_size,
+                        padding=self.crop_padding,
+                    )
                     assert ok, f"Failed to get square crop from frame {j}"
                     cv2.imwrite(self.get_crop_path(fighter, j), crop)
 

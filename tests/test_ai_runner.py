@@ -120,6 +120,94 @@ def test_ai_runner_full_flow(runner_env, monkeypatch):
     assert dict(runner.ai_output_data["Pikachu"][0]) == before
 
 
+def test_center_jump_suppression(tmp_path, monkeypatch):
+    """A detection that teleports to the other fighter's position for a
+    few frames is rejected and re-interpolated from its neighbors."""
+    d = tmp_path
+    video = d / "clip.mp4"
+    w = cv2.VideoWriter(str(video), cv2.VideoWriter_fourcc(*"mp4v"), 60, (320, 180))
+    for i in range(25):
+        w.write(np.full((180, 320, 3), 60 + i, np.uint8))
+    w.release()
+    monkeypatch.setattr(constants, "AI_CACHE", str(d / "ai_cache"))
+
+    class FlippingDetector(FakeDetector):
+        """Pikachu's detection teleports across the screen on frames 12-14."""
+
+        def run(self, input_video_path, exp_name):
+            out = super().run(input_video_path, exp_name)
+            base = os.path.join(constants.AI_CACHE, exp_name, "labels")
+            video_name = os.path.splitext(os.path.basename(input_video_path))[0]
+            for i in (12, 13, 14):
+                path = os.path.join(base, f"{video_name}_{i}.txt")
+                lines = open(path).read().splitlines()
+                fixed = []
+                for line in lines:
+                    parts = line.split(" ")
+                    if parts[0] == "2":  # Pikachu -> far side of the screen
+                        parts[1] = "0.92"
+                    fixed.append(" ".join(parts))
+                with open(path, "w") as f:
+                    f.write("\n".join(fixed) + "\n")
+            return out
+
+    pipe = BatchedActionPipeline(family="cnn", num_actions=8, sequence_length=3,
+                                 frame_delta=1, crop_size=32)
+    runner = AIRunner(input_video_path=str(video), detector=FlippingDetector(20),
+                      pipeline=pipe)
+    runner.run_detection_setup()
+    from playaid_core_tpu.infer.detection import read_fighter_yolo_crop
+
+    for i in (12, 13, 14):
+        crop = read_fighter_yolo_crop(runner.get_label_path(i), "Pikachu")
+        assert crop is not None  # interpolation refilled the frame
+        expected = 0.3 + 0.02 * i  # the true trajectory
+        assert abs(crop.center_x - expected) < 0.05, (i, crop.center_x)
+
+
+def test_center_jump_reanchors_on_stable_teleport(tmp_path, monkeypatch):
+    """A persistent position change (KO respawn) re-anchors instead of
+    being rejected forever."""
+    d = tmp_path
+    video = d / "clip.mp4"
+    w = cv2.VideoWriter(str(video), cv2.VideoWriter_fourcc(*"mp4v"), 60, (320, 180))
+    for i in range(25):
+        w.write(np.full((180, 320, 3), 60 + i, np.uint8))
+    w.release()
+    monkeypatch.setattr(constants, "AI_CACHE", str(d / "ai_cache"))
+
+    class TeleportDetector(FakeDetector):
+        def run(self, input_video_path, exp_name):
+            out = super().run(input_video_path, exp_name)
+            base = os.path.join(constants.AI_CACHE, exp_name, "labels")
+            video_name = os.path.splitext(os.path.basename(input_video_path))[0]
+            for i in range(10, 21):  # respawn platform from frame 10 on
+                path = os.path.join(base, f"{video_name}_{i}.txt")
+                if not os.path.exists(path):
+                    continue
+                lines = open(path).read().splitlines()
+                fixed = []
+                for line in lines:
+                    parts = line.split(" ")
+                    if parts[0] == "2":
+                        parts[1], parts[2] = "0.9", "0.2"
+                    fixed.append(" ".join(parts))
+                with open(path, "w") as f:
+                    f.write("\n".join(fixed) + "\n")
+            return out
+
+    pipe = BatchedActionPipeline(family="cnn", num_actions=8, sequence_length=3,
+                                 frame_delta=1, crop_size=32)
+    runner = AIRunner(input_video_path=str(video), detector=TeleportDetector(20),
+                      pipeline=pipe)
+    runner.run_detection_setup()
+    from playaid_core_tpu.infer.detection import read_fighter_yolo_crop
+
+    late = read_fighter_yolo_crop(runner.get_label_path(20), "Pikachu")
+    assert late is not None
+    assert abs(late.center_x - 0.9) < 0.02, late.center_x  # re-anchored
+
+
 def test_load_crop_tracks_pipeline_size(runner_env, monkeypatch):
     """Regression: cached crops must load at the MODEL's input size.  A
     fixed 128 default silently fed 2x-scale crops to a crop_size=64 model

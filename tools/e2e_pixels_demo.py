@@ -201,6 +201,7 @@ def run_demo(workdir, det_steps=600, act_epochs=5, act_steps=24, eval_frames=240
                                       crop_size=64, crop_padding=8, batch_size=24),
         pipeline=pipe,
         variables=split_vars,
+        crop_padding=8,  # match the detector's crop framing
     )
     runner.actions = ACTIONS
     print("running pixels-only AIRunner...")

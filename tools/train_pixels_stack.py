@@ -26,8 +26,12 @@ def diagnose(out):
     """Box-scale + per-move diagnostics for the scored demo run."""
     from playaid_core_tpu.infer.detection import read_fighter_yolo_crop
 
+    from tools.e2e_pixels_demo import FIGHTERS
+
     runner, gt_boxes, gt_labels = out["runner"], out["gt_boxes"], out["gt_labels"]
-    fighters = list(runner.ai_output_data.keys())
+    # gt_labels/gt_boxes columns are in FIGHTERS order; ai_output_data's
+    # key order is detection-dependent, so index by name.
+    fighters = list(FIGHTERS)
     size_ratios = []
     per_move = {}
     for i in range(1, runner.max_frames):
