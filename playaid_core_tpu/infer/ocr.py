@@ -55,6 +55,60 @@ def render_digit_templates(height=40, font_path=TEXT_FONT_PATH):
     return templates
 
 
+def segment_digit_components(bgr_crop, threshold=128, min_area=12):
+    """Threshold + connected components of a HUD crop, left-to-right.
+
+    Returns (components, gray) where each component is a dict with
+    ``x, y, w, h, mask`` (float 0/1) and ``patch`` (grayscale, bright
+    pixels kept, background zeroed) — shared by the template and conv
+    readers so train/eval see the same segmentation.
+    """
+    # Threshold the VALUE channel (per-pixel max), not luma: the damage
+    # counter's fill shifts white -> saturated red as damage grows, and
+    # saturated red has luma ~107 — below a mid-gray threshold — while its
+    # max-channel stays at ~255.
+    gray = bgr_crop.max(axis=2).astype(np.uint8)
+    gray = cv2.resize(gray, (256, int(256 * gray.shape[0] / max(gray.shape[1], 1))))
+    binary = (gray > threshold).astype(np.uint8)
+    num, labels, stats, _ = cv2.connectedComponentsWithStats(binary)
+    comps = []
+    for i in range(1, num):
+        x, y, w, h, area = stats[i]
+        if area < min_area:
+            continue
+        mask = (labels[y : y + h, x : x + w] == i).astype(np.float32)
+        patch = gray[y : y + h, x : x + w].astype(np.float32) * mask
+        comps.append({"x": int(x), "y": int(y), "w": int(w), "h": int(h),
+                      "mask": mask, "patch": patch})
+    comps.sort(key=lambda c: c["x"])
+    return comps, gray
+
+
+def assemble_reading(comps, digits, scores):
+    """Shared decimal-point inference + value parse: decimal digits on the
+    HUD render smaller, so a sharp height drop marks the fractional part
+    (same geometry heuristic both readers use)."""
+    heights = [c["h"] for c in comps]
+    main_height = max(heights)
+    out = []
+    decimal_inserted = False
+    for c, digit in zip(comps, digits):
+        if not decimal_inserted and c["h"] < 0.72 * main_height and out:
+            out.append(".")
+            decimal_inserted = True
+        out.append(digit or "?")
+    raw = "".join(out)
+    confidence = float(np.mean(scores)) if scores else 0.0
+    try:
+        value = float(raw)
+    except ValueError:
+        cleaned = extract_numbers(raw)
+        if not cleaned:
+            return False, (-1, raw, confidence, {"components": len(comps)})
+        value = float(cleaned)
+    return True, (value, raw, confidence, {"components": len(comps)})
+
+
 class TemplateDigitOCR:
     """Digit reader over thresholded connected components."""
 
@@ -79,48 +133,29 @@ class TemplateDigitOCR:
     def __call__(self, bgr_crop):
         """Returns (ok, (value, raw_string, confidence, details)) in the
         reference's damage_crop_to_percent shape (ai_runner.py:109-133)."""
-        gray = cv2.cvtColor(bgr_crop, cv2.COLOR_BGR2GRAY)
-        gray = cv2.resize(gray, (256, int(256 * gray.shape[0] / max(gray.shape[1], 1))))
-        binary = (gray > self.threshold).astype(np.uint8)
-        num, labels, stats, _ = cv2.connectedComponentsWithStats(binary)
-
-        comps = []
-        for i in range(1, num):
-            x, y, w, h, area = stats[i]
-            if area < self.min_area:
-                continue
-            comps.append((x, y, w, h, i))
-        comps.sort(key=lambda c: c[0])
+        comps, _ = segment_digit_components(bgr_crop, self.threshold, self.min_area)
         if not comps:
             return False, (-1, "", 0.0, {"components": 0})
-
-        heights = [c[3] for c in comps]
-        main_height = max(heights)
         digits, scores = [], []
-        decimal_inserted = False
-        for x, y, w, h, i in comps:
-            comp = (labels[y : y + h, x : x + w] == i).astype(np.float32)
-            # Decimal digits on the HUD render smaller; a sharp height drop
-            # marks the fractional part.
-            if not decimal_inserted and h < 0.72 * main_height and digits:
-                digits.append(".")
-                decimal_inserted = True
-            digit, score = self._classify_component(comp)
-            digits.append(digit or "?")
+        for c in comps:
+            digit, score = self._classify_component(c["mask"])
+            digits.append(digit)
             scores.append(score)
-
-        raw = "".join(digits)
-        confidence = float(np.mean(scores)) if scores else 0.0
-        try:
-            value = float(raw)
-        except ValueError:
-            cleaned = extract_numbers(raw)
-            if not cleaned:
-                return False, (-1, raw, confidence, {"components": len(comps)})
-            value = float(cleaned)
-        return True, (value, raw, confidence, {"components": len(comps)})
+        return assemble_reading(comps, digits, scores)
 
 
 def damage_crop_to_percent(damage_crop, reader):
     """Reference-shaped wrapper (reference: ai_runner.py:109-133)."""
     return reader(damage_crop)
+
+
+def default_reader():
+    """The framework's default damage reader: the trained conv digit
+    classifier when its committed weights are present, else template
+    matching."""
+    try:
+        from playaid_core_tpu.infer.ocr_conv import ConvDigitOCR
+
+        return ConvDigitOCR()
+    except Exception:
+        return TemplateDigitOCR()

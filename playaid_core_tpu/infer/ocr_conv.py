@@ -1,0 +1,276 @@
+"""Learned HUD digit reader: a small jitted conv classifier.
+
+The template reader (:mod:`playaid_core_tpu.infer.ocr`) matches glyph
+shape exactly and breaks on stylized HUD typography (the Smash damage
+counter is an outlined, shadowed, italic face whose fill shifts
+white->red with accumulated damage — reference consumed it with PaddleOCR,
+ai_runner.py:537-590).  This module trains a ~50k-parameter conv net on
+synthetic stylized HUD renders spanning several fonts and the full style
+space (outline width, shadow, rotation, damage tint, noise, blur) and
+classifies segmented components; generalization is measured on a font the
+training never saw (tests/test_ocr_conv.py).
+
+Weights are committed at ``assets/ocr_digits.npz`` (regenerate with
+``python -m playaid_core_tpu.infer.ocr_conv``); inference is a single
+jitted call over all components of a crop.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+PATCH = 32
+
+# Font pools: the conv net trains on the first group and is evaluated on
+# the held-out group (never rendered during training).
+_MPL_TTF = None
+
+
+def _mpl_ttf_dir():
+    global _MPL_TTF
+    if _MPL_TTF is None:
+        import matplotlib
+
+        _MPL_TTF = os.path.join(
+            os.path.dirname(matplotlib.__file__), "mpl-data", "fonts", "ttf"
+        )
+    return _MPL_TTF
+
+
+def train_fonts():
+    d = _mpl_ttf_dir()
+    return [
+        os.path.join(d, "DejaVuSans.ttf"),
+        os.path.join(d, "DejaVuSans-Bold.ttf"),
+        os.path.join(d, "DejaVuSansMono-Bold.ttf"),
+        os.path.join(d, "STIXGeneral.ttf"),
+    ]
+
+
+def heldout_fonts():
+    d = _mpl_ttf_dir()
+    return [
+        os.path.join(d, "DejaVuSerif-Bold.ttf"),
+        os.path.join(d, "DejaVuSerifDisplay.ttf"),
+    ]
+
+
+def render_hud_text(text, font_path, height=44, outline=2, shadow=2,
+                    rotation=0.0, damage=0.0, noise=12, blur=0, seed=0,
+                    bg_level=28):
+    """Render a HUD-style damage string as a BGR crop.
+
+    Styling mirrors the Smash damage counter: bright fill that shifts
+    white->red with ``damage`` in [0, 1], dark outline, drop shadow,
+    slight rotation/italic, noisy dark background.
+    """
+    import cv2
+    from PIL import Image, ImageDraw, ImageFont
+
+    rng = np.random.default_rng(seed)
+    font = ImageFont.truetype(font_path, height)
+    pad = height
+    w = int(height * (0.75 * len(text) + 2))
+    h = int(height * 2.2)
+    img = Image.new("RGB", (w, h), (0, 0, 0))
+    draw = ImageDraw.Draw(img)
+    # white -> red fill as damage grows (RGB here; converted to BGR below)
+    fill = (255, int(255 * (1 - 0.85 * damage)), int(255 * (1 - 0.95 * damage)))
+    x0, y0 = pad // 2, h // 4
+    if shadow:
+        draw.text((x0 + shadow, y0 + shadow), text, font=font, fill=(15, 10, 10))
+    draw.text(
+        (x0, y0), text, font=font, fill=fill,
+        stroke_width=outline, stroke_fill=(25, 20, 30),
+    )
+    arr = np.array(img)[:, :, ::-1].copy()  # -> BGR
+    if rotation:
+        m = cv2.getRotationMatrix2D((w / 2, h / 2), rotation, 1.0)
+        arr = cv2.warpAffine(arr, m, (w, h))
+    bg = rng.integers(0, bg_level, arr.shape, dtype=np.uint8)
+    arr = np.maximum(arr, bg)
+    if noise:
+        arr = np.clip(
+            arr.astype(np.int16)
+            + rng.integers(-noise, noise + 1, arr.shape, dtype=np.int16),
+            0, 255,
+        ).astype(np.uint8)
+    if blur:
+        arr = cv2.GaussianBlur(arr, (2 * blur + 1, 2 * blur + 1), 0)
+    return arr
+
+
+def patch_from_component(comp, size=PATCH):
+    """Letterbox a segmented component's grayscale patch to [size, size]
+    float in [0, 1] (aspect preserved)."""
+    import cv2
+
+    patch = comp["patch"]
+    h, w = patch.shape
+    scale = (size - 2) / max(h, w)
+    nh, nw = max(1, int(round(h * scale))), max(1, int(round(w * scale)))
+    resized = cv2.resize(patch, (nw, nh), interpolation=cv2.INTER_AREA)
+    out = np.zeros((size, size), np.float32)
+    y0, x0 = (size - nh) // 2, (size - nw) // 2
+    out[y0 : y0 + nh, x0 : x0 + nw] = resized / 255.0
+    return out
+
+
+def _make_model():
+    import flax.linen as nn
+
+    class DigitNet(nn.Module):
+        @nn.compact
+        def __call__(self, x):  # [B, 32, 32, 1]
+            x = nn.relu(nn.Conv(16, (3, 3), strides=2, name="c1")(x))
+            x = nn.relu(nn.Conv(32, (3, 3), strides=2, name="c2")(x))
+            x = nn.relu(nn.Conv(64, (3, 3), strides=2, name="c3")(x))
+            x = x.reshape((x.shape[0], -1))
+            x = nn.relu(nn.Dense(64, name="d1")(x))
+            return nn.Dense(10, name="out")(x)
+
+    return DigitNet()
+
+
+def synth_batch(rng, fonts, batch=128, threshold=128):
+    """Render random styled digits, run the REAL segmentation, and emit
+    (patches [B, 32, 32, 1], labels [B]).  Using the inference-time
+    segmenter keeps train/eval distributions identical."""
+    from playaid_core_tpu.infer.ocr import segment_digit_components
+
+    xs, ys = [], []
+    while len(xs) < batch:
+        d = int(rng.integers(0, 10))
+        crop = render_hud_text(
+            str(d), fonts[int(rng.integers(0, len(fonts)))],
+            height=int(rng.integers(30, 64)),
+            outline=int(rng.integers(0, 4)),
+            shadow=int(rng.integers(0, 4)),
+            rotation=float(rng.uniform(-10, 10)),
+            damage=float(rng.uniform(0, 1)),
+            noise=int(rng.integers(0, 25)),
+            blur=int(rng.integers(0, 2)),
+            seed=int(rng.integers(0, 2**31)),
+        )
+        comps, _ = segment_digit_components(crop, threshold=threshold)
+        if len(comps) != 1:
+            continue  # broken glyph under this style; skip
+        xs.append(patch_from_component(comps[0]))
+        ys.append(d)
+    x = np.stack(xs)[..., None].astype(np.float32)
+    return x, np.asarray(ys, np.int32)
+
+
+def train(steps=400, batch=128, lr=2e-3, seed=0, fonts=None, log_every=50):
+    """Train the digit classifier; returns (params, history)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    fonts = fonts or train_fonts()
+    model = _make_model()
+    rng = np.random.default_rng(seed)
+    params = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, PATCH, PATCH, 1)))
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, x, y):
+        def loss_fn(p):
+            logits = model.apply(p, x)
+            loss = optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
+            return loss, logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        acc = (jnp.argmax(logits, -1) == y).mean()
+        return params, opt_state, loss, acc
+
+    history = []
+    for i in range(steps):
+        x, y = synth_batch(rng, fonts, batch)
+        params, opt_state, loss, acc = step(params, opt_state, x, y)
+        if (i + 1) % log_every == 0 or i == steps - 1:
+            rec = {"step": i + 1, "loss": float(loss), "acc": float(acc)}
+            history.append(rec)
+            print(f"ocr train step {rec['step']}: loss {rec['loss']:.4f} "
+                  f"acc {rec['acc']:.3f}")
+    return params, history
+
+
+WEIGHTS_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "assets", "ocr_digits.npz",
+)
+
+
+def save_params(params, path=WEIGHTS_PATH):
+    import jax
+
+    flat = {}
+    for kp, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        key = "/".join(str(getattr(p, "key", p)) for p in kp)
+        flat[key] = np.asarray(leaf)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savez_compressed(path, **flat)
+
+
+def load_params(path=WEIGHTS_PATH):
+    data = np.load(path)
+    params = {}
+    for key in data.files:
+        node = params
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = data[key]
+    return params
+
+
+class ConvDigitOCR:
+    """Drop-in damage reader: learned component classifier + the shared
+    segmentation/decimal geometry."""
+
+    def __init__(self, params=None, threshold=128, min_area=12):
+        self.model = _make_model()
+        self.params = params if params is not None else load_params()
+        self.threshold = threshold
+        self.min_area = min_area
+        self._apply = None
+
+    def _logits(self, patches):
+        import jax
+
+        if self._apply is None:
+            self._apply = jax.jit(self.model.apply)
+        return np.asarray(self._apply(self.params, patches))
+
+    def __call__(self, bgr_crop):
+        from playaid_core_tpu.infer.ocr import (
+            assemble_reading,
+            segment_digit_components,
+        )
+
+        comps, _ = segment_digit_components(bgr_crop, self.threshold, self.min_area)
+        if not comps:
+            return False, (-1, "", 0.0, {"components": 0})
+        patches = np.stack([patch_from_component(c) for c in comps])[..., None]
+        logits = self._logits(patches.astype(np.float32))
+        probs = np.exp(logits - logits.max(-1, keepdims=True))
+        probs /= probs.sum(-1, keepdims=True)
+        digits = [str(int(i)) for i in probs.argmax(-1)]
+        scores = [float(p.max()) for p in probs]
+        return assemble_reading(comps, digits, scores)
+
+
+def main():
+    params, history = train(steps=int(os.environ.get("OCR_STEPS", "400")))
+    save_params(params)
+    print(f"saved {WEIGHTS_PATH}")
+
+
+if __name__ == "__main__":
+    main()

@@ -35,7 +35,11 @@ from playaid_core_tpu.infer.detection import (
     read_fighter_yolo_crop,
     read_yolo_crops,
 )
-from playaid_core_tpu.infer.ocr import PLAYER_DAMAGE_CROPS, TemplateDigitOCR
+from playaid_core_tpu.infer.ocr import (
+    PLAYER_DAMAGE_CROPS,
+    TemplateDigitOCR,
+    default_reader,
+)
 from playaid_core_tpu.infer.pipeline import BatchedActionPipeline
 from playaid_core_tpu.ontology import MOVE_TO_CLASS_ID
 from playaid_core_tpu.video.reader import VideoReader
@@ -440,7 +444,10 @@ class AIRunner:
 
     def run_damage_detection(self, ocr=None):
         self.determine_player_id_to_fighter()
-        ocr = ocr or TemplateDigitOCR()
+        # Default: the trained conv digit classifier (handles stylized/
+        # tinted HUD glyphs; falls back to template matching when its
+        # committed weights are absent).
+        ocr = ocr or default_reader()
         num_confident = 0
         for i, input_frame in self.reader.iter_frames(0, self.max_frames):
             for player_id, params in PLAYER_DAMAGE_CROPS.items():

@@ -1,0 +1,118 @@
+"""Learned HUD digit reader: generalization to fonts/styles never seen.
+
+Round-1's OCR test was circular (templates and eval crops used the same
+font).  Here the conv classifier's committed weights — trained only on
+the ``train_fonts()`` pool — are evaluated on held-out serif fonts with
+full HUD styling (outline, shadow, rotation, damage tint, noise), and
+the template reader is shown the same crops for contrast.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from playaid_core_tpu.infer import ocr_conv
+from playaid_core_tpu.infer.ocr import segment_digit_components
+
+
+def test_render_hud_text_styles():
+    crop = ocr_conv.render_hud_text("42", ocr_conv.train_fonts()[0], damage=0.8,
+                                    outline=2, shadow=2, rotation=4.0)
+    assert crop.ndim == 3 and crop.shape[2] == 3
+    comps, _ = segment_digit_components(crop)
+    assert len(comps) == 2
+    # Damage tint: red channel (BGR index 2) dominates the bright pixels.
+    bright = crop[crop.max(axis=2) > 150]
+    assert bright[:, 2].mean() > bright[:, 0].mean() + 40
+
+
+def test_weights_committed():
+    assert os.path.exists(ocr_conv.WEIGHTS_PATH), (
+        "committed OCR weights missing; regenerate with "
+        "`python -m playaid_core_tpu.infer.ocr_conv`"
+    )
+
+
+def _styled_eval_crops(fonts, n_per_digit=6, seed=100):
+    """Digit crops in the given fonts across the style space."""
+    rng = np.random.default_rng(seed)
+    crops, labels = [], []
+    for d in range(10):
+        made = 0
+        while made < n_per_digit:
+            crop = ocr_conv.render_hud_text(
+                str(d), fonts[int(rng.integers(0, len(fonts)))],
+                height=int(rng.integers(32, 60)),
+                outline=int(rng.integers(1, 4)),
+                shadow=int(rng.integers(1, 4)),
+                rotation=float(rng.uniform(-8, 8)),
+                damage=float(rng.uniform(0, 1)),
+                noise=int(rng.integers(5, 22)),
+                seed=int(rng.integers(0, 2**31)),
+            )
+            comps, _ = segment_digit_components(crop)
+            if len(comps) != 1:
+                continue
+            crops.append(crop)
+            labels.append(d)
+            made += 1
+    return crops, labels
+
+
+def test_heldout_font_accuracy():
+    """>=95% digit accuracy on fonts the classifier never trained on."""
+    reader = ocr_conv.ConvDigitOCR()
+    crops, labels = _styled_eval_crops(ocr_conv.heldout_fonts())
+    hits = 0
+    for crop, label in zip(crops, labels):
+        ok, (value, raw, conf, _) = reader(crop)
+        if ok and raw == str(label):
+            hits += 1
+    acc = hits / len(labels)
+    assert acc >= 0.95, f"held-out font digit accuracy {acc:.2%}"
+
+
+def test_full_damage_reading_heldout():
+    """Whole+decimal HUD composition (decimal digits render smaller, like
+    the real counter) read end-to-end in a held-out font."""
+    font = ocr_conv.heldout_fonts()[0]
+    reader = ocr_conv.ConvDigitOCR()
+    rng = np.random.default_rng(5)
+    hits = total = 0
+    for _ in range(12):
+        whole = int(rng.integers(0, 200))
+        frac = int(rng.integers(0, 10))
+        big = ocr_conv.render_hud_text(str(whole), font, height=46, outline=2,
+                                       shadow=2, damage=whole / 200,
+                                       seed=int(rng.integers(0, 2**31)))
+        small = ocr_conv.render_hud_text(str(frac), font, height=30, outline=2,
+                                         shadow=2, damage=whole / 200,
+                                         seed=int(rng.integers(0, 2**31)))
+        # Compose side by side on a common canvas (decimal part smaller).
+        h = max(big.shape[0], small.shape[0])
+        canvas = np.zeros((h, big.shape[1] + small.shape[1], 3), np.uint8)
+        y_big = (h - big.shape[0]) // 2
+        canvas[y_big : y_big + big.shape[0], : big.shape[1]] = big
+        y_small = (h - small.shape[0]) // 2
+        canvas[y_small : y_small + small.shape[0], big.shape[1] :] = small
+        ok, (value, raw, conf, _) = reader(canvas)
+        total += 1
+        if ok and abs(value - (whole + frac / 10)) < 1e-6:
+            hits += 1
+    assert hits / total >= 0.9, f"full reading accuracy {hits}/{total}"
+
+
+def test_training_smoke():
+    """A fresh tiny training run learns (beats chance by a wide margin)."""
+    params, history = ocr_conv.train(steps=25, batch=48, log_every=25, seed=3)
+    reader = ocr_conv.ConvDigitOCR(params=params)
+    crops, labels = _styled_eval_crops(ocr_conv.train_fonts(), n_per_digit=2,
+                                       seed=9)
+    hits = sum(
+        1 for crop, label in zip(crops, labels)
+        if reader(crop)[1][1] == str(label)
+    )
+    assert hits / len(labels) > 0.4  # chance is 0.1
