@@ -58,6 +58,7 @@ class AIRunner:
         fighters=None,
         crop_padding=30,
         max_center_jump=0.08,
+        fix_swaps=False,
         **dataset_args,
     ):
         # crop_padding: square_crop padding for re-cropped (interpolated)
@@ -88,6 +89,11 @@ class AIRunner:
 
         self.crop_padding = crop_padding
         self.max_center_jump = max_center_jump
+        # fix_swaps: opt-in joint identity-swap rewriting (see
+        # fix_identity_swaps).  Off by default: on detector outputs whose
+        # identity errors are gradual drift rather than clean jumps, the
+        # per-fighter continuity filter alone measures better.
+        self.fix_swaps = fix_swaps
         self.detector = detector or ExternalYoloDetector()
         res, self.ai_output_data = self.load_ai_output()
 
@@ -142,6 +148,8 @@ class AIRunner:
                 with open(path, "w"):
                     pass
 
+        if self.fix_swaps and self.max_center_jump and len(self.fighters) == 2:
+            self.fix_identity_swaps()
         for fighter in self.fighters:
             if self.max_center_jump:
                 self.suppress_center_jumps(fighter)
@@ -185,6 +193,119 @@ class AIRunner:
         crops = [c for c in read_yolo_crops(label_path) if c.class_id != class_id]
         with open(label_path, "w") as f:
             f.write("\n".join(str(c) for c in crops) + ("\n" if crops else ""))
+
+    def _swap_frame_labels(self, label_path, frame):
+        """Exchange the two fighters' class ids in one frame's labels and
+        swap the corresponding crop files."""
+        f0, f1 = self.fighters
+        id0 = constants.CHAR_LIST.index(f0)
+        id1 = constants.CHAR_LIST.index(f1)
+        crops = read_yolo_crops(label_path)
+        for c in crops:
+            if c.class_id == id0:
+                c.class_id = id1
+            elif c.class_id == id1:
+                c.class_id = id0
+        with open(label_path, "w") as f:
+            f.write("\n".join(str(c) for c in crops) + "\n")
+        p0 = self.get_crop_path(f0, frame)
+        p1 = self.get_crop_path(f1, frame)
+        if os.path.exists(p0) and os.path.exists(p1):
+            tmp = p0 + ".swap"
+            os.rename(p0, tmp)
+            os.rename(p1, p0)
+            os.rename(tmp, p1)
+        elif os.path.exists(p0):
+            os.rename(p0, p1)
+        elif os.path.exists(p1):
+            os.rename(p1, p0)
+
+    def fix_identity_swaps(self, margin=0.05, max_run=20):
+        """Joint two-fighter identity assignment by track continuity.
+
+        When the detector swaps BOTH fighters' classes at once (each
+        detection landing where the other fighter was), per-fighter outlier
+        rejection can't see it — each track's jump looks like a teleport to
+        a spot no other class occupies.  Jointly, a crossing is obvious:
+        the crossed assignment is closer to both tracks' previous
+        positions.
+
+        Two further disambiguators, because continuity alone is wrong in
+        both directions:
+
+        * fighters legitimately PASS THROUGH each other — positions move
+          smoothly through the meeting point.  A label swap makes both
+          tracks JUMP discontinuously, so a crossing is only flagged when
+          both fighters' per-frame motion also exceeds the
+          ``max_center_jump`` budget;
+        * continuity is BISTABLE — once the track state is crossed it
+          would "correct" appearance-correct detections forever.  Crossed
+          frames are buffered per run: a SHORT run (<= ``max_run``) is a
+          transient detector flip and gets rewritten (labels swapped, crop
+          files exchanged); a PERSISTENT run means the track state itself
+          is wrong — the detector's appearance evidence wins, the buffer
+          is dropped, and the track re-anchors.
+
+        Frames with duplicate detections or both detections on one
+        fighter are ambiguous and never update the track.
+        """
+        f0, f1 = self.fighters
+        id0 = constants.CHAR_LIST.index(f0)
+        id1 = constants.CHAR_LIST.index(f1)
+
+        def dist(a, b):
+            return abs(a.center_x - b.center_x) + abs(a.center_y - b.center_y)
+
+        last = {f0: None, f1: None}
+        last_frame = None
+        run = []  # [(label_path, frame)] of buffered crossed frames
+
+        def flush_run(apply):
+            if apply:
+                for path, fr in run:
+                    self._swap_frame_labels(path, fr)
+            run.clear()
+
+        for label_path in self.get_label_paths():
+            frame = extract_number_from_filename(label_path)
+            all_crops = read_yolo_crops(label_path)
+            per_class = {id0: [], id1: []}
+            for c in all_crops:
+                if c.class_id in per_class:
+                    per_class[c.class_id].append(c)
+            # Skip ambiguous frames entirely: duplicates (first-line order
+            # is arbitrary pre-dedup) or both detections on one fighter.
+            if len(per_class[id0]) != 1 or len(per_class[id1]) != 1:
+                continue
+            c0, c1 = per_class[id0][0], per_class[id1][0]
+            if dist(c0, c1) < 0.1:
+                continue
+            if last[f0] and last[f1]:
+                gap = max(frame - last_frame, 1)
+                budget = self.max_center_jump * gap + 0.02
+                direct = dist(c0, last[f0]) + dist(c1, last[f1])
+                swapped = dist(c0, last[f1]) + dist(c1, last[f0])
+                crossed = (
+                    direct > 0.2
+                    and swapped < 0.5 * direct
+                    and swapped + margin < direct
+                    # Both tracks must move DISCONTINUOUSLY (label swap),
+                    # not smoothly through a legitimate pass-through.
+                    and dist(c0, last[f0]) > budget
+                    and dist(c1, last[f1]) > budget
+                )
+                if crossed:
+                    run.append((label_path, frame))
+                    if len(run) > max_run:
+                        # Persistent: the track is wrong, not the frames.
+                        flush_run(apply=False)
+                        last[f0], last[f1] = c0, c1
+                        last_frame = frame
+                    continue  # crossed frames never update the track
+                flush_run(apply=True)  # transient flip ended: rewrite it
+            last[f0], last[f1] = c0, c1
+            last_frame = frame
+        flush_run(apply=len(run) <= max_run)
 
     def suppress_center_jumps(self, fighter, stable_n=8):
         """Identity-continuity filter: reject detections whose center jumps

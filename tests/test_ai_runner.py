@@ -165,6 +165,61 @@ def test_center_jump_suppression(tmp_path, monkeypatch):
         assert abs(crop.center_x - expected) < 0.05, (i, crop.center_x)
 
 
+def test_identity_swap_correction(tmp_path, monkeypatch):
+    """When BOTH fighters' class labels swap for a stretch (each detection
+    on the other fighter's position), joint continuity assignment swaps
+    them back."""
+    d = tmp_path
+    video = d / "clip.mp4"
+    w = cv2.VideoWriter(str(video), cv2.VideoWriter_fourcc(*"mp4v"), 60, (320, 180))
+    for i in range(25):
+        w.write(np.full((180, 320, 3), 60 + i, np.uint8))
+    w.release()
+    monkeypatch.setattr(constants, "AI_CACHE", str(d / "ai_cache"))
+
+    class SwappingDetector(FakeDetector):
+        """Fighters on opposite screen sides; classes swapped frames 12-18."""
+
+        def run(self, input_video_path, exp_name):
+            out = super().run(input_video_path, exp_name)
+            base = os.path.join(constants.AI_CACHE, exp_name, "labels")
+            video_name = os.path.splitext(os.path.basename(input_video_path))[0]
+            for i in range(1, self.num_frames + 1):
+                path = os.path.join(base, f"{video_name}_{i}.txt")
+                if not os.path.exists(path):
+                    continue
+                lines = open(path).read().splitlines()
+                fixed = []
+                for line in lines:
+                    parts = line.split(" ")
+                    # Spread the fighters far apart (swap detection only
+                    # engages when a swap is decisively wrong).
+                    if parts[0] == "2":
+                        parts[1] = str(0.15 + 0.005 * i)
+                    elif parts[0] == "3":
+                        parts[1] = str(0.85 - 0.005 * i)
+                    if 12 <= i <= 18:
+                        parts[0] = {"2": "3", "3": "2"}.get(parts[0], parts[0])
+                    fixed.append(" ".join(parts))
+                with open(path, "w") as f:
+                    f.write("\n".join(fixed) + "\n")
+            return out
+
+    pipe = BatchedActionPipeline(family="cnn", num_actions=8, sequence_length=3,
+                                 frame_delta=1, crop_size=32)
+    runner = AIRunner(input_video_path=str(video), detector=SwappingDetector(20),
+                      pipeline=pipe, fix_swaps=True)
+    runner.run_detection_setup()
+    from playaid_core_tpu.infer.detection import read_fighter_yolo_crop
+
+    for i in (13, 16):
+        pik = read_fighter_yolo_crop(runner.get_label_path(i), "Pikachu")
+        expected = 0.15 + 0.005 * i  # Pikachu's true trajectory
+        assert pik is not None and abs(pik.center_x - expected) < 0.03, (
+            i, pik and pik.center_x,
+        )
+
+
 def test_center_jump_reanchors_on_stable_teleport(tmp_path, monkeypatch):
     """A persistent position change (KO respawn) re-anchors instead of
     being rejected forever."""
