@@ -68,6 +68,7 @@ class Manuscript:
         ground_truth_path=None,
         ai_output_path=None,
         skip_graphs: bool = False,
+        chart_refresh: int = 1,
         log_offset: int = 0,
         include_audio: bool = True,
         skip_summaries: bool = False,
@@ -97,6 +98,11 @@ class Manuscript:
         self.max_frames = max_frames if max_frames >= 0 else self.reader.frame_count
 
         self.skip_graphs = skip_graphs
+        # Re-render the offscreen chart panels every N frames, blitting the
+        # cached renders in between (1 = every frame, the reference's
+        # semantics).  Active play changes the chart data almost every
+        # frame, so the lru caches alone don't bound the matplotlib cost.
+        self.chart_refresh = max(int(chart_refresh), 1)
         self.include_audio = include_audio
         self.skip_summaries = skip_summaries
         self.show_timer = show_timer
@@ -208,7 +214,10 @@ class Manuscript:
             with timer.stage("charts"):
                 annotator.update_onscreen_charts(self.fighters, self.stats)
                 if show_stats:
-                    annotator.update_offscreen_charts(self.fighters, self.stats)
+                    reuse = (i - self.start_frame) % self.chart_refresh != 0
+                    annotator.update_offscreen_charts(
+                        self.fighters, self.stats, reuse=reuse
+                    )
 
             rendered_result = annotator.result()
             with timer.stage("encode"):
@@ -254,8 +263,12 @@ class Manuscript:
 @click.option("--ai-output-path", "-ai", default=None, help="Path to cached ai output")
 @click.option("--output-path", "-o", default=None, help="Path to write annotated video")
 @click.option("--profile", is_flag=True, help="Print per-stage timing at the end")
+@click.option("--chart-refresh", default=1, type=int,
+              help="Re-render side charts every N frames (blit cached panels "
+                   "in between); 1 = every frame")
 def run_manuscript(frames, skip_graphs, video_index, skip_summaries, show_timer,
-                   video_path, log_path, ai_output_path, output_path, profile):
+                   video_path, log_path, ai_output_path, output_path, profile,
+                   chart_refresh):
     """Entrypoint to Manuscript (reference: manuscript.py:293-385)."""
     if not video_index and not video_path:
         print("Must specify either --video-index or --video-path")
@@ -275,6 +288,7 @@ def run_manuscript(frames, skip_graphs, video_index, skip_summaries, show_timer,
         "skip_summaries": skip_summaries,
         "show_timer": show_timer,
         "profile": profile,
+        "chart_refresh": chart_refresh,
     }
 
     if video_index:

@@ -171,10 +171,27 @@ class Annotator:
         c = image.shape[2]
         self.im[y : y + h, x : x + w, :c] = image[:h, :w]
 
-    def update_offscreen_charts(self, fighters, stats):
+    def update_offscreen_charts(self, fighters, stats, reuse=False):
         """Side panels (ledge/tech strips + damage graph) and bottom outcome
-        bars (reference: annotator.py:217-276)."""
+        bars (reference: annotator.py:217-276).
+
+        ``reuse=True`` blits the previous call's rendered panels instead of
+        recomputing them — the chart-refresh fast path (active play changes
+        the underlying counters nearly every frame, defeating the data-tuple
+        lru caches; refreshing every few frames is visually identical at a
+        fraction of the render cost).
+        """
         self.maybe_pad_image()
+        if reuse and getattr(self, "_panel_cache", None):
+            for image, x, y in self._panel_cache:
+                self._blit(image, x, y)
+            return
+
+        cache = []
+
+        def blit(image, x, y):
+            cache.append((image, x, y))
+            self._blit(image, x, y)
 
         index_to_side_x = {0: 0, 1: self.left_padding + self.input_width}
         index_to_bottom_x = {0: 0, 1: self.output_width // 2}
@@ -182,14 +199,14 @@ class Annotator:
             x = index_to_side_x[fighter.fighter_id]
             y = 0
             timeline_height = 120
-            self._blit(disadvantage_ledge_history(fighter=fighter, stats=stats), x, y)
+            blit(disadvantage_ledge_history(fighter=fighter, stats=stats), x, y)
             y += timeline_height
-            self._blit(disadvantage_tech_history(fighter=fighter, stats=stats), x, y)
+            blit(disadvantage_tech_history(fighter=fighter, stats=stats), x, y)
             y += timeline_height
 
             im_height, im_width = 480, 400
             chart, image = move_damage_graph(fighter, stats, width=im_width, height=im_height)
-            self._blit(image, x, y)
+            blit(image, x, y)
 
             x = index_to_bottom_x[fighter.fighter_id]
             y = self.input_height
@@ -197,7 +214,8 @@ class Annotator:
             chart, image = move_success_punished_missed_bar_graph(
                 fighter, stats, height=400, width=im_width
             )
-            self._blit(image, x, y)
+            blit(image, x, y)
+        self._panel_cache = cache
 
     def basic_counter(self, x, fighter, stats):
         """Plain-text per-move counters on one side (reference:

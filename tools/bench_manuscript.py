@@ -39,9 +39,10 @@ def main():
         w.release()
 
     results = {}
-    for label, skip_graphs, skip_summaries in (
-        ("charts_on", False, True),
-        ("charts_off", True, True),
+    for label, skip_graphs, chart_refresh in (
+        ("charts_on", False, 1),
+        ("charts_refresh5", False, 5),
+        ("charts_off", True, 1),
     ):
         ms = Manuscript(
             input_video_path=video,
@@ -49,7 +50,8 @@ def main():
             max_frames=frames,
             ground_truth_path=log,
             skip_graphs=skip_graphs,
-            skip_summaries=skip_summaries,
+            skip_summaries=True,
+            chart_refresh=chart_refresh,
             include_audio=False,
         )
         t0 = time.perf_counter()
