@@ -243,6 +243,40 @@ class TestVodAnalyzerNative:
         assert labels.shape == (60, 2)
         assert np.array_equal(labels[0::2], labels[1::2])
 
+    def test_short_vod_single_partial_chunk(self, video, pipeline):
+        """Fewer frames than one chunk still labels every frame."""
+        from playaid_core_tpu.infer.vod_pipeline import VodAnalyzer
+
+        path, boxes = video
+        pipe, variables = pipeline
+        analyzer = VodAnalyzer(pipe, variables=variables, chunk=48,
+                               decode_backend="native")
+        result = analyzer.analyze(path, boxes[:10], num_frames=10)
+        assert result["labels"].shape == (10, 2)
+        assert result["frames"] == 10
+
+    def test_stride_with_partial_tail(self, video, pipeline):
+        """stride=2 with a frame count not divisible by chunk or stride."""
+        from playaid_core_tpu.infer.vod_pipeline import VodAnalyzer
+
+        path, boxes = video
+        pipe, variables = pipeline
+        analyzer = VodAnalyzer(pipe, variables=variables, chunk=12,
+                               decode_backend="native", stride=2)
+        result = analyzer.analyze(path, boxes[:31], num_frames=31)
+        assert result["labels"].shape == (31, 2)
+
+    def test_staging_thread_propagates_errors(self, pipeline):
+        """A decode failure mid-stream surfaces in the caller, not a hang."""
+        from playaid_core_tpu.infer.vod_pipeline import VodAnalyzer
+
+        pipe, variables = pipeline
+        analyzer = VodAnalyzer(pipe, variables=variables, chunk=12,
+                               decode_backend="native")
+        boxes = np.zeros((24, 2, 4), np.float32)
+        with pytest.raises(Exception):
+            analyzer.analyze("/nonexistent/video.mp4", boxes)
+
     def test_stride_cv2_backend(self, video, pipeline):
         from playaid_core_tpu.infer.vod_pipeline import VodAnalyzer
 

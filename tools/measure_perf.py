@@ -59,6 +59,13 @@ def main():
     )
     results["pallas_crop_720p_crops_per_s"] = round(64 / dt)
 
+    # Fused YUV420->RGB + embed (the VOD pipeline's transfer format).
+    pipe_yuv = BatchedActionPipeline(family="cnn", dtype=jnp.bfloat16)
+    v_yuv = pipe_yuv.init(jax.random.PRNGKey(0))
+    crops_yuv = jnp.zeros((batch, 128 * 128 * 3 // 2), jnp.uint8)
+    dt = timeit(lambda c: pipe_yuv.embed_crops_yuv(v_yuv, c), crops_yuv)
+    results["embed_cnn_yuv_crops_per_s"] = round(batch / dt)
+
     # Full monolithic ResFormer forward (window-at-a-time baseline).
     model = ResnetTransformerDetector(num_actions=63, sequence_length=7,
                                       dtype=jnp.bfloat16)
