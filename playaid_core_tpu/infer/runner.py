@@ -59,6 +59,7 @@ class AIRunner:
         crop_padding=30,
         max_center_jump=0.08,
         fix_swaps=False,
+        appearance_check=True,
         **dataset_args,
     ):
         # crop_padding: square_crop padding for re-cropped (interpolated)
@@ -94,6 +95,11 @@ class AIRunner:
         # identity errors are gradual drift rather than clean jumps, the
         # per-fighter continuity filter alone measures better.
         self.fix_swaps = fix_swaps
+        # appearance_check: reject detections whose crop color signature
+        # decisively matches the OTHER fighter (identity drift position
+        # continuity can't see); stands down automatically when the two
+        # fighters' appearances aren't separable.
+        self.appearance_check = appearance_check
         self.detector = detector or ExternalYoloDetector()
         res, self.ai_output_data = self.load_ai_output()
 
@@ -148,6 +154,8 @@ class AIRunner:
                 with open(path, "w"):
                     pass
 
+        if self.appearance_check and len(self.fighters) == 2:
+            self.appearance_identity_filter()
         if self.fix_swaps and self.max_center_jump and len(self.fighters) == 2:
             self.fix_identity_swaps()
         for fighter in self.fighters:
@@ -187,6 +195,70 @@ class AIRunner:
 
         crop_paths = glob.glob(os.path.join(self.crops_dir, fighter, "*.jpg"))
         return sorted(crop_paths, key=extract_number_from_filename)
+
+    def _crop_signature(self, path):
+        """Coarse color signature (4x4x4 histogram of the crop's center
+        region) for appearance-based identity checks."""
+        img = cv2.imread(path)
+        if img is None:
+            return None
+        h, w = img.shape[:2]
+        center = img[h // 4 : 3 * h // 4, w // 4 : 3 * w // 4]
+        hist = cv2.calcHist([center], [0, 1, 2], None, [4, 4, 4],
+                            [0, 256, 0, 256, 0, 256]).flatten()
+        total = hist.sum()
+        return hist / total if total else None
+
+    def appearance_identity_filter(self, margin=0.25):
+        """Majority-appearance consistency check: a detection whose crop
+        looks decisively like the OTHER fighter is an identity error.
+
+        Position continuity (suppress_center_jumps) can't catch identity
+        drift that tracks smoothly; appearance can.  Each fighter's median
+        color signature over all its detections is the reference (the
+        majority of detections are correct); crops closer to the other
+        fighter's median by ``margin`` (L1 on normalized histograms, range
+        [0, 2]) are removed so gap interpolation refills them.  When the
+        two fighters' appearances aren't separable (median signatures
+        within ``margin`` of each other), the filter stands down.
+        """
+        f0, f1 = self.fighters
+        sigs = {f0: [], f1: []}
+        per_frame = {f0: {}, f1: {}}
+        for f in (f0, f1):
+            for crop_path in self.get_crop_paths(f):
+                frame = extract_number_from_filename(crop_path)
+                s = self._crop_signature(crop_path)
+                if s is not None:
+                    sigs[f].append(s)
+                    per_frame[f][frame] = s
+        if len(sigs[f0]) < 8 or len(sigs[f1]) < 8:
+            return
+        med = {}
+        for f in (f0, f1):
+            m = np.median(np.stack(sigs[f]), axis=0)
+            t = m.sum()
+            med[f] = m / t if t else m
+
+        def dist(a, b):
+            return float(np.abs(a - b).sum())
+
+        if dist(med[f0], med[f1]) < margin:
+            return  # appearances not separable; appearance says nothing
+        removed = {f0: 0, f1: 0}
+        for f, other in ((f0, f1), (f1, f0)):
+            for frame, s in per_frame[f].items():
+                if dist(s, med[other]) + margin < dist(s, med[f]):
+                    label_path = self.get_label_path(frame)
+                    if os.path.exists(label_path):
+                        self._remove_fighter_line(label_path, f)
+                    crop_path = self.get_crop_path(f, frame)
+                    if os.path.exists(crop_path):
+                        os.unlink(crop_path)
+                    removed[f] += 1
+                    # Never strip a fighter's track entirely.
+                    if removed[f] >= len(per_frame[f]) - 8:
+                        break
 
     def _remove_fighter_line(self, label_path, fighter):
         class_id = constants.CHAR_LIST.index(fighter)

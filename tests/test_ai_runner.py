@@ -220,6 +220,58 @@ def test_identity_swap_correction(tmp_path, monkeypatch):
         )
 
 
+def test_appearance_identity_filter(tmp_path, monkeypatch):
+    """Crops that decisively look like the OTHER fighter are rejected and
+    re-interpolated, even when their positions track smoothly (identity
+    drift that position continuity can't see)."""
+    d = tmp_path
+    video = d / "clip.mp4"
+    w = cv2.VideoWriter(str(video), cv2.VideoWriter_fourcc(*"mp4v"), 60, (320, 180))
+    for i in range(25):
+        w.write(np.full((180, 320, 3), 60, np.uint8))
+    w.release()
+    monkeypatch.setattr(constants, "AI_CACHE", str(d / "ai_cache"))
+
+    PIKA_COLOR = (40, 220, 220)   # yellow-ish
+    JOKER_COLOR = (160, 40, 40)   # dark blue-ish
+
+    class ColoredDetector(FakeDetector):
+        """Solid-color crops; Pikachu's crops at frames 10-14 show Joker's
+        colors (identity error) while its box position stays smooth."""
+
+        def run(self, input_video_path, exp_name):
+            out = super().run(input_video_path, exp_name)
+            base = os.path.join(constants.AI_CACHE, exp_name, "crops")
+            video_name = os.path.splitext(os.path.basename(input_video_path))[0]
+            for fighter, color in (("Pikachu", PIKA_COLOR), ("Joker", JOKER_COLOR)):
+                for i in range(1, self.num_frames + 1):
+                    p = os.path.join(base, fighter, f"{video_name}_{i}.jpg")
+                    if not os.path.exists(p):
+                        continue
+                    use = JOKER_COLOR if (fighter == "Pikachu" and 10 <= i <= 14) \
+                        else color
+                    cv2.imwrite(p, np.full((128, 128, 3), use, np.uint8))
+            return out
+
+    pipe = BatchedActionPipeline(family="cnn", num_actions=8, sequence_length=3,
+                                 frame_delta=1, crop_size=32)
+    runner = AIRunner(input_video_path=str(video), detector=ColoredDetector(20),
+                      pipeline=pipe)
+    runner.run_detection_setup()
+
+    # The offending frames were re-cropped from the (uniform gray) video
+    # via interpolation — they no longer carry Joker's color.
+    for i in (11, 13):
+        crop = cv2.imread(runner.get_crop_path("Pikachu", i))
+        assert crop is not None
+        mean = crop.reshape(-1, 3).mean(axis=0)
+        assert abs(mean[0] - JOKER_COLOR[0]) > 40, mean  # not Joker blue
+    # Frames outside the window are untouched (frame 16: not in the
+    # colored window, not in FakeDetector's built-in 8-10 gap).
+    crop16 = cv2.imread(runner.get_crop_path("Pikachu", 16))
+    assert abs(crop16.reshape(-1, 3).mean(axis=0)[1] - PIKA_COLOR[1]) < 30
+
+
 def test_center_jump_reanchors_on_stable_teleport(tmp_path, monkeypatch):
     """A persistent position change (KO respawn) re-anchors instead of
     being rejected forever."""

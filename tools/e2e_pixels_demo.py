@@ -117,7 +117,8 @@ def make_eval_video(path, stages_dir, num_frames=240, width=1280, height=720,
     return gt_boxes, gt_labels
 
 
-def run_demo(workdir, det_steps=600, act_epochs=5, act_steps=24, eval_frames=240):
+def run_demo(workdir, det_steps=600, act_epochs=5, act_steps=24, eval_frames=240,
+             det_composites=300):
     import jax
     import jax.numpy as jnp
 
@@ -139,7 +140,8 @@ def run_demo(workdir, det_steps=600, act_epochs=5, act_steps=24, eval_frames=240
     # Identity in this demo is color-coded, so skip the hue-shifting sprite
     # augmentation when compositing detector training data.
     generate_stage_char_compositions(
-        "train", 300, seed=0, output_root=os.path.join(workdir, "composites"),
+        "train", det_composites, seed=0,
+        output_root=os.path.join(workdir, "composites"),
         stages_dir=stages, clean_char_dir=clean, char_list=list(constants.CHAR_LIST),
         augment=False,
     )

@@ -65,12 +65,14 @@ def main():
     act_epochs = int(os.environ.get("ACT_EPOCHS", "20"))
     act_steps = int(os.environ.get("ACT_STEPS", "48"))
     eval_frames = int(os.environ.get("EVAL_FRAMES", "480"))
+    det_composites = int(os.environ.get("DET_COMPOSITES", "300"))
 
     from tools.e2e_pixels_demo import run_demo
 
     t0 = time.time()
     out = run_demo(workdir, det_steps=det_steps, act_epochs=act_epochs,
-                   act_steps=act_steps, eval_frames=eval_frames)
+                   act_steps=act_steps, eval_frames=eval_frames,
+                   det_composites=det_composites)
     elapsed = time.time() - t0
 
     # Persist both trained states for post-hoc diagnosis / reuse.
@@ -93,6 +95,7 @@ def main():
     diag = diagnose(out)
     record = {
         "det_steps": det_steps,
+        "det_composites": det_composites,
         "act_epochs": act_epochs,
         "act_steps_per_epoch": act_steps,
         "eval_frames": eval_frames,
