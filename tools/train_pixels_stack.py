@@ -69,6 +69,25 @@ def main():
 
     from tools.e2e_pixels_demo import run_demo
 
+    # Keep-alive heartbeat: the tunneled TPU session goes stale after
+    # ~10 min of device idleness (long host-side phases like composite
+    # generation), after which the NEXT device op hangs forever rather
+    # than reconnecting.  A tiny device op every minute keeps the session
+    # warm.
+    import threading
+
+    def _heartbeat():
+        import jax.numpy as jnp
+
+        while True:
+            try:
+                jnp.zeros((1,)).block_until_ready()
+            except Exception:
+                pass
+            time.sleep(60)
+
+    threading.Thread(target=_heartbeat, daemon=True).start()
+
     t0 = time.time()
     out = run_demo(workdir, det_steps=det_steps, act_epochs=act_epochs,
                    act_steps=act_steps, eval_frames=eval_frames,
