@@ -150,6 +150,12 @@ def main():
         "decode_backend": "native" if native_decoder.available() else "cv2",
         "lowres": lowres,
         "stride": stride,
+        # Mode disclosure: stride>1 propagates each classified frame's
+        # label to the frames in between (the reference's GT videos are
+        # 30 fps vs the 60 fps log); lowres>0 is fractional decode where
+        # the codec supports it.  BENCH_STRIDE=1 BENCH_LOWRES=0 measures
+        # the per-frame full-resolution configuration.
+        "mode": f"scale-at-decode lowres={lowres}, label-stride={stride}",
     }))
 
 

@@ -152,10 +152,18 @@ def damage_crop_to_percent(damage_crop, reader):
 def default_reader():
     """The framework's default damage reader: the trained conv digit
     classifier when its committed weights are present, else template
-    matching."""
+    matching.  Broken (as opposed to absent) weights are reported, not
+    silently downgraded."""
     try:
         from playaid_core_tpu.infer.ocr_conv import ConvDigitOCR
 
         return ConvDigitOCR()
-    except Exception:
+    except FileNotFoundError:
+        return TemplateDigitOCR()  # intended fallback: no committed weights
+    except Exception as e:
+        import sys
+
+        print(f"WARNING: conv OCR unavailable ({e!r}); falling back to "
+              "template matching (lower accuracy on stylized HUDs)",
+              file=sys.stderr)
         return TemplateDigitOCR()

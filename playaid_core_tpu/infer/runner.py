@@ -363,8 +363,11 @@ class AIRunner:
                     and swapped + margin < direct
                     # Both tracks must move DISCONTINUOUSLY (label swap),
                     # not smoothly through a legitimate pass-through.
-                    and dist(c0, last[f0]) > budget
-                    and dist(c1, last[f1]) > budget
+                    # Only gate run ENTRY on this: `last` is frozen during
+                    # a buffered run, so the gap-scaled budget would
+                    # otherwise balloon and falsely end long swap runs.
+                    and (run or (dist(c0, last[f0]) > budget
+                                 and dist(c1, last[f1]) > budget))
                 )
                 if crossed:
                     run.append((label_path, frame))
@@ -399,15 +402,24 @@ class AIRunner:
         Extends the reference's nearest-to-previous duplicate suppression
         (ai_runner.py:313-358) to single-detection outliers.
         """
+        class_id = constants.CHAR_LIST.index(fighter)
         last = None
         last_frame = None
         pending = None  # (crop, frame) of the last rejected detection
         pending_run = 0
         for label_path in self.get_label_paths():
             frame = extract_number_from_filename(label_path)
-            crop = read_fighter_yolo_crop(label_path, fighter)
-            if crop is None:
+            mine = [c for c in read_yolo_crops(label_path)
+                    if c.class_id == class_id]
+            if not mine:
                 continue
+            if len(mine) > 1:
+                # Pre-dedup duplicate: first-line order is arbitrary, and
+                # removing the line would discard the good detection along
+                # with the bad one.  Leave the frame for the
+                # nearest-to-previous dedup pass to resolve.
+                continue
+            crop = mine[0]
             if last is not None:
                 gap = max(frame - last_frame, 1)
                 allowed = self.max_center_jump * gap + 0.02
@@ -494,8 +506,12 @@ class AIRunner:
                 current_label = self.get_label_path(current_frame)
                 start_crop = read_fighter_yolo_crop(latest_label, fighter)
                 end_crop = read_fighter_yolo_crop(current_label, fighter)
-                assert start_crop, f"missing start crop {latest_label} for {fighter}"
                 assert end_crop, f"missing end crop {current_label} for {fighter}"
+                if start_crop is None:
+                    # Leading gap: the fighter's first detections were
+                    # removed (identity filters) or absent; backfill from
+                    # the first surviving detection (mirror of tail fill).
+                    start_crop = end_crop
 
                 for j in range(latest_seen_frame + 1, current_frame):
                     if read_fighter_yolo_crop(self.get_label_path(j), fighter):

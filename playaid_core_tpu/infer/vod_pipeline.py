@@ -450,7 +450,10 @@ class VodAnalyzer:
         def to_device(arr):
             if batch_sharding is not None:
                 return jax.device_put(arr, batch_sharding)
-            return arr
+            # Explicit transfer even without a mesh: the staging thread
+            # exists to move the host->device copy off the consumer
+            # thread, and jit would otherwise transfer lazily at dispatch.
+            return jax.device_put(arr)
 
         t0 = time.time()
         decoded = 0

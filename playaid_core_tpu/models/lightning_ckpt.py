@@ -56,7 +56,6 @@ class _StubObject:
 
 class _RestrictedUnpickler(pickle.Unpickler):
     def find_class(self, module, name):
-        root = module.split(".")[0] + "."
         if any((module + ".").startswith(p + ".") for p in _SAFE_MODULE_PREFIXES):
             return super().find_class(module, name)
         return _StubObject

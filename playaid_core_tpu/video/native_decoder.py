@@ -152,6 +152,12 @@ class NativeVideoDecoder:
             int(padding), int(out_size), int(stride), fmt_i,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
         )
+        if decoded == -2:
+            # Seek target past the end of the stream (container metadata
+            # overstated the frame count, or the caller's boxes extend
+            # past a truncated video): an empty chunk, not an error — the
+            # cv2 backend behaves the same way.
+            return 0, out
         if decoded < 0:
             raise RuntimeError(f"decode error at frame {start}: {decoded}")
         return int(decoded), out
