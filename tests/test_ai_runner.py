@@ -220,6 +220,58 @@ def test_identity_swap_correction(tmp_path, monkeypatch):
         )
 
 
+def test_identity_swap_long_run_fully_rewritten(tmp_path, monkeypatch):
+    """A 15-frame swap run (< max_run) is rewritten END TO END: the
+    discontinuity guard gates only run entry — `last` freezes during a
+    buffered run, so a gap-scaled budget would otherwise balloon and
+    falsely terminate long runs partway."""
+    d = tmp_path
+    video = d / "clip.mp4"
+    w = cv2.VideoWriter(str(video), cv2.VideoWriter_fourcc(*"mp4v"), 60, (320, 180))
+    for i in range(30):
+        w.write(np.full((180, 320, 3), 60, np.uint8))
+    w.release()
+    monkeypatch.setattr(constants, "AI_CACHE", str(d / "ai_cache"))
+
+    class LongSwapDetector(FakeDetector):
+        def run(self, input_video_path, exp_name):
+            out = super().run(input_video_path, exp_name)
+            base = os.path.join(constants.AI_CACHE, exp_name, "labels")
+            video_name = os.path.splitext(os.path.basename(input_video_path))[0]
+            for i in range(1, self.num_frames + 1):
+                path = os.path.join(base, f"{video_name}_{i}.txt")
+                if not os.path.exists(path):
+                    continue
+                lines = open(path).read().splitlines()
+                fixed = []
+                for line in lines:
+                    parts = line.split(" ")
+                    if parts[0] == "2":
+                        parts[1] = str(0.12 + 0.004 * i)
+                    elif parts[0] == "3":
+                        parts[1] = str(0.88 - 0.004 * i)
+                    if 5 <= i <= 19:  # 15 swapped frames
+                        parts[0] = {"2": "3", "3": "2"}.get(parts[0], parts[0])
+                    fixed.append(" ".join(parts))
+                with open(path, "w") as f:
+                    f.write("\n".join(fixed) + "\n")
+            return out
+
+    pipe = BatchedActionPipeline(family="cnn", num_actions=8, sequence_length=3,
+                                 frame_delta=1, crop_size=32)
+    runner = AIRunner(input_video_path=str(video), detector=LongSwapDetector(24),
+                      pipeline=pipe, fix_swaps=True)
+    runner.run_detection_setup()
+    from playaid_core_tpu.infer.detection import read_fighter_yolo_crop
+
+    for i in (6, 12, 18):  # early, middle, and LATE frames of the run
+        pik = read_fighter_yolo_crop(runner.get_label_path(i), "Pikachu")
+        expected = 0.12 + 0.004 * i
+        assert pik is not None and abs(pik.center_x - expected) < 0.03, (
+            i, pik and pik.center_x,
+        )
+
+
 def test_appearance_identity_filter(tmp_path, monkeypatch):
     """Crops that decisively look like the OTHER fighter are rejected and
     re-interpolated, even when their positions track smoothly (identity
