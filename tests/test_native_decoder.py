@@ -277,6 +277,24 @@ class TestVodAnalyzerNative:
         with pytest.raises(Exception):
             analyzer.analyze("/nonexistent/video.mp4", boxes)
 
+    def test_analyze_many_matches_sequential(self, video, pipeline):
+        """Concurrent multi-VOD analysis produces the same labels as
+        sequential runs and isolates per-job failures."""
+        from playaid_core_tpu.infer.vod_pipeline import VodAnalyzer, analyze_many
+
+        path, boxes = video
+        pipe, variables = pipeline
+        single = VodAnalyzer(pipe, variables=variables, chunk=12)
+        ref = single.analyze(path, boxes)
+
+        results = analyze_many(
+            [(path, boxes), ("/nonexistent.mp4", boxes), (path, boxes[:24])],
+            pipeline=pipe, variables=variables, chunk=12,
+        )
+        assert np.array_equal(results[0]["labels"], ref["labels"])
+        assert isinstance(results[1], Exception)
+        assert results[2]["labels"].shape == (24, 2)
+
     def test_stride_cv2_backend(self, video, pipeline):
         from playaid_core_tpu.infer.vod_pipeline import VodAnalyzer
 
