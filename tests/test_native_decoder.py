@@ -157,6 +157,49 @@ def test_yuv420_format_matches_bgr(video):
     assert float(rgb[0, 0, 0, 0, 0]) == pytest.approx(float(bgr[0, 0, 0, 0, 0]), abs=3)
 
 
+def test_mjpg_full_range_source(tmp_path):
+    """A full-range (yuvj420p) codec decodes correctly through BOTH output
+    formats: sws normalizes the YUV420 crop planes to limited range, so
+    the device's BT.601 limited-range conversion stays valid regardless
+    of the source codec's range."""
+    path = str(tmp_path / "clip_mjpg.avi")
+    w, h, n = 320, 180, 16
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 30, (w, h))
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 80, (h, w, 3), dtype=np.uint8)
+    boxes = np.zeros((n, 1, 4), np.float32)
+    for i in range(n):
+        fr = base.copy()
+        cv2.circle(fr, (100 + 5 * i, 90), 30, (0, 200, 255), -1)
+        writer.write(fr)
+        boxes[i, 0] = ((100 + 5 * i) / w, 0.5, 80 / w, 80 / h)
+    writer.release()
+
+    ref = _cv2_crops(path, boxes)
+    with native_decoder.NativeVideoDecoder(path) as dec:
+        n_bgr, bgr = dec.decode_crops(0, boxes, 128, 30)
+    with native_decoder.NativeVideoDecoder(path) as dec:
+        n_yuv, yuv = dec.decode_crops(0, boxes, 128, 30, fmt="yuv420")
+    assert n_bgr == n_yuv == n
+    diff = np.abs(ref.astype(np.int16) - bgr.astype(np.int16))
+    assert diff.mean() < 8.0, diff.mean()  # jpeg artifacts + resample phase
+    # YUV420 reconstruction (limited-range math) matches the BGR path.
+    s, yb, cb = 128, 128 * 128, 64 * 64
+    y = yuv[..., :yb].reshape(n, 1, s, s).astype(np.float32)
+    u = yuv[..., yb:yb + cb].reshape(n, 1, s // 2, s // 2).astype(np.float32)
+    v = yuv[..., yb + cb:].reshape(n, 1, s // 2, s // 2).astype(np.float32)
+    u = np.repeat(np.repeat(u, 2, axis=2), 2, axis=3)
+    v = np.repeat(np.repeat(v, 2, axis=2), 2, axis=3)
+    yc = 1.164383 * (y - 16.0)
+    rgb = np.clip(np.stack([
+        yc + 2.017232 * (u - 128.0),                       # B
+        yc - 0.391762 * (u - 128.0) - 0.812968 * (v - 128.0),  # G
+        yc + 1.596027 * (v - 128.0),                       # R
+    ], axis=-1), 0, 255)
+    d2 = np.abs(rgb - bgr.astype(np.float32))
+    assert d2.mean() < 5.0, d2.mean()
+
+
 class TestVodAnalyzerNative:
     @pytest.fixture(scope="class")
     def pipeline(self):
