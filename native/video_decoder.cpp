@@ -56,6 +56,7 @@ struct Decoder {
   double fps = 0.0;
   int64_t nb_frames = 0;
   int64_t next_index = 0;   // index of the next frame decode will return
+  bool pending = false;     // d->frame already holds frame `next_index`
   bool draining = false;
 };
 
@@ -123,8 +124,10 @@ void* vd_open(const char* path, int lowres) {
     if (d->lowres > 0) d->codec->lowres = d->lowres;
     if (avcodec_open2(d->codec, dec, nullptr) < 0) goto fail;
     AVRational fr = d->stream->avg_frame_rate;
-    if (fr.num == 0) fr = d->stream->r_frame_rate;
-    d->fps = fr.den ? av_q2d(fr) : 60.0;
+    if (fr.num <= 0 || fr.den <= 0) fr = d->stream->r_frame_rate;
+    // num==0 with den!=0 happens in real containers; a 0.0 fps would make
+    // vd_seek divide by it and pts_to_index collapse every frame to 0.
+    d->fps = (fr.num > 0 && fr.den > 0) ? av_q2d(fr) : 60.0;
     d->nb_frames = d->stream->nb_frames;
     if (d->nb_frames <= 0 && d->stream->duration > 0)
       d->nb_frames = (int64_t)llround(
@@ -153,13 +156,14 @@ long vd_num_frames(void* h) { return (long)((Decoder*)h)->nb_frames; }
 // nearest earlier keyframe).  Returns 0 on success.
 int vd_seek(void* h, long index) {
   Decoder* d = (Decoder*)h;
-  if (index == d->next_index) return 0;
+  if (index == d->next_index) return d->pending ? 1 : 0;
   double t = index / d->fps;
   int64_t ts = (int64_t)(t / av_q2d(d->stream->time_base));
   if (av_seek_frame(d->fmt, d->stream_index, ts, AVSEEK_FLAG_BACKWARD) < 0)
     return -1;
   avcodec_flush_buffers(d->codec);
   d->draining = false;
+  d->pending = false;
   // Decode forward until the frame before `index` is consumed.
   for (;;) {
     int ret = next_frame(d);
@@ -191,7 +195,8 @@ long vd_decode_crops_fmt(void* h, long start, long n, const float* boxes,
   Decoder* d = (Decoder*)h;
   if (stride < 1) stride = 1;
   if (fmt == 1 && (out_size & 1)) return -10;
-  bool have_frame = false;
+  bool have_frame = d->pending && start == d->next_index;
+  d->pending = false;
   if (start != d->next_index) {
     int s = vd_seek(h, start);
     if (s < 0) return s;
@@ -211,8 +216,23 @@ long vd_decode_crops_fmt(void* h, long start, long n, const float* boxes,
     }
     have_frame = false;
     int64_t idx = pts_to_index(d, d->frame->best_effort_timestamp);
+    // Align the output slot to the frame's pts-derived index so boxes[i]
+    // always describes the frame written to slot i, even on streams whose
+    // pts skip or repeat (seek overshoot, dropped frames, duplicate pts).
+    if (idx < start + i) {  // stale/duplicate frame: drop, refetch this slot
+      av_frame_unref(d->frame);
+      --i;
+      continue;
+    }
+    if (idx >= start + n) {  // stream jumped past the chunk: remaining
+      d->next_index = idx;   // slots stay black; frame waits for next call
+      d->pending = true;
+      break;
+    }
+    if (idx > start + i) i = idx - start;  // skipped slots stay black
     d->next_index = idx + 1;
-    decoded++;
+    decoded = i + 1;  // high-water slot count: caller's [:decoded] view
+                      // covers every slot this call wrote
     if (K == 0 || (i % stride) != 0) {
       av_frame_unref(d->frame);
       continue;

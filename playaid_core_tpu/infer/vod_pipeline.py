@@ -119,6 +119,7 @@ class BoundedSegmentDecoder:
 
         self._results = {}
         self._error = None
+        self._closed = False
         self._cond = threading.Condition()
         self._next_emit = 0
         self._task_q = queue.Queue()
@@ -131,6 +132,21 @@ class BoundedSegmentDecoder:
         ]
         for t in self._threads:
             t.start()
+
+    def close(self):
+        """Stop workers: drain pending tasks and release backpressure
+        waiters.  Safe to call from the consumer's error path — without
+        it, a consumer that dies mid-iteration leaves workers decoding
+        (and, in ``analyze_many``, leaks threads + decoder handles for
+        the life of the process)."""
+        with self._cond:
+            self._closed = True
+            try:
+                while True:
+                    self._task_q.get_nowait()
+            except queue.Empty:
+                pass
+            self._cond.notify_all()
 
     def _worker(self):
         try:
@@ -154,8 +170,12 @@ class BoundedSegmentDecoder:
             # Backpressure: don't decode more than `ahead` chunks past the
             # consumer.
             with self._cond:
-                while chunk_idx > self._next_emit + self._ahead:
+                while (chunk_idx > self._next_emit + self._ahead
+                       and not self._closed):
                     self._cond.wait()
+                if self._closed:
+                    cap.release()
+                    return
             start = chunk_idx * self.chunk
             stop = min(start + self.chunk, self.num_frames)
             if start != pos:
@@ -181,6 +201,8 @@ class BoundedSegmentDecoder:
                 while idx not in self._results:
                     if self._error is not None:
                         raise self._error
+                    if self._closed:
+                        return
                     self._cond.wait()
                 item = self._results.pop(idx)
                 self._next_emit = idx + 1
@@ -218,6 +240,7 @@ class NativeChunkDecoder:
 
         self._results = {}
         self._error = None
+        self._closed = False
         self._cond = threading.Condition()
         self._next_emit = 0
         self._task_q = queue.Queue()
@@ -230,6 +253,8 @@ class NativeChunkDecoder:
         ]
         for t in self._threads:
             t.start()
+
+    close = BoundedSegmentDecoder.close
 
     def _worker(self):
         try:
@@ -251,8 +276,11 @@ class NativeChunkDecoder:
                 except queue.Empty:
                     return
                 with self._cond:
-                    while chunk_idx > self._next_emit + self._ahead:
+                    while (chunk_idx > self._next_emit + self._ahead
+                           and not self._closed):
                         self._cond.wait()
+                    if self._closed:
+                        return
                 start = chunk_idx * self.chunk
                 stop = min(start + self.chunk, self.num_frames)
                 # Fixed-shape output (zero-padded tail chunk): every chunk
@@ -276,6 +304,8 @@ class NativeChunkDecoder:
                 while idx not in self._results:
                     if self._error is not None:
                         raise self._error
+                    if self._closed:
+                        return
                     self._cond.wait()
                 item = self._results.pop(idx)
                 self._next_emit = idx + 1
@@ -495,20 +525,36 @@ class VodAnalyzer:
                 # decode, transfer and dispatch all overlap (+10-17%
                 # measured on a 1-core host).
                 stage_q = queue.Queue(maxsize=4)
+                stage_stop = threading.Event()
+
+                def _put(item):
+                    # Guarded put: if the consumer died, its finally sets
+                    # stage_stop and this returns instead of blocking
+                    # forever on the full queue (thread-leak fix).
+                    while not stage_stop.is_set():
+                        try:
+                            stage_q.put(item, timeout=0.25)
+                            return True
+                        except queue.Full:
+                            continue
+                    return False
 
                 def _stage():
                     try:
                         for start, (n, wins, _o) in decoder:
+                            if stage_stop.is_set():
+                                return
                             if n == 0:
                                 continue
                             sampled = wins[::stride] if stride > 1 else wins
                             flat = sampled.reshape(
                                 (samples_per_chunk * 2,) + sampled.shape[2:]
                             )
-                            stage_q.put((start, n, to_device(flat)))
-                        stage_q.put(None)
+                            if not _put((start, n, to_device(flat))):
+                                return
+                        _put(None)
                     except BaseException as e:  # surface in the consumer
-                        stage_q.put(e)
+                        _put(e)
 
                 stage_thread = threading.Thread(target=_stage, daemon=True)
                 stage_thread.start()
@@ -516,25 +562,36 @@ class VodAnalyzer:
                     self.pipeline.embed_crops_yuv if fmt == "yuv420"
                     else self.pipeline.embed_crops_u8
                 )
-                while True:
-                    item = stage_q.get()
-                    if item is None:
-                        break
-                    if isinstance(item, BaseException):
-                        raise item
-                    start, n, flat = item
-                    emb = embed(self.variables, flat)
-                    buf = scatter_fn(buf, emb, (start // stride) * 2)
-                    decoded += n
-                    extent = max(extent, (start + n + stride - 1) // stride)
+                try:
+                    while True:
+                        item = stage_q.get()
+                        if item is None:
+                            break
+                        if isinstance(item, BaseException):
+                            raise item
+                        start, n, flat = item
+                        emb = embed(self.variables, flat)
+                        buf = scatter_fn(buf, emb, (start // stride) * 2)
+                        decoded += n
+                        extent = max(extent, (start + n + stride - 1) // stride)
+                finally:
+                    # Stop producers whether we finished or raised: the
+                    # staging thread exits its put, the decoder drains its
+                    # task queue and closes its handles.
+                    stage_stop.set()
+                    decoder.close()
+                    stage_thread.join(timeout=10.0)
             else:
-                for start, (n, wins, origins) in decoder:
-                    if n == 0:
-                        continue
-                    emb = self._resize_embed(wins, origins)
-                    buf = scatter_fn(buf, emb, start * 2)
-                    decoded += n
-                    extent = max(extent, start + n)
+                try:
+                    for start, (n, wins, origins) in decoder:
+                        if n == 0:
+                            continue
+                        emb = self._resize_embed(wins, origins)
+                        buf = scatter_fn(buf, emb, start * 2)
+                        decoded += n
+                        extent = max(extent, start + n)
+                finally:
+                    decoder.close()
 
             labels, conf = self.pipeline.classify_buffer(self.variables, buf, extent)
             labels, conf = jax.device_get((labels, conf))

@@ -25,14 +25,50 @@ from __future__ import annotations
 import io
 import pickle
 
-# Modules whose classes are trusted during unpickling.  Everything else
-# becomes _StubObject: constructible with any args, absorbs any state.
-_SAFE_MODULE_PREFIXES = (
-    "torch",
-    "collections",
-    "builtins",
-    "numpy",
-    "_codecs",
+# Exact globals trusted during unpickling — the tensor-rebuild entry points
+# torch's own ``weights_only`` unpickler permits, plus inert container types.
+# A module-prefix allowlist is NOT safe here: ``builtins`` contains
+# ``eval``/``exec``/``getattr`` and ``torch`` contains ``torch.load`` itself,
+# any of which a crafted container could resolve via GLOBAL+REDUCE.
+# Everything else becomes _StubObject: constructible with any args, absorbs
+# any state.
+_SAFE_GLOBALS = {
+    ("collections", "OrderedDict"),
+    ("collections", "defaultdict"),
+    ("torch._utils", "_rebuild_tensor"),
+    ("torch._utils", "_rebuild_tensor_v2"),
+    ("torch._utils", "_rebuild_parameter"),
+    ("torch._utils", "_rebuild_sparse_tensor"),
+    ("torch._utils", "_rebuild_meta_tensor_no_storage"),
+    ("torch", "Size"),
+    ("torch", "device"),
+    ("torch", "dtype"),
+    ("torch.storage", "_load_from_bytes"),
+    ("torch.storage", "TypedStorage"),
+    ("torch.storage", "_TypedStorage"),
+    ("torch.storage", "UntypedStorage"),
+    ("torch.serialization", "_get_layout"),
+    ("numpy", "ndarray"),
+    ("numpy", "dtype"),
+    ("numpy.core.multiarray", "_reconstruct"),
+    ("numpy.core.multiarray", "scalar"),
+    ("numpy._core.multiarray", "_reconstruct"),
+    ("numpy._core.multiarray", "scalar"),
+    ("_codecs", "encode"),
+    # Inert builtins that old pickle protocols reach via GLOBAL.
+    ("builtins", "set"),
+    ("builtins", "frozenset"),
+    ("builtins", "bytearray"),
+    ("builtins", "complex"),
+    ("builtins", "slice"),
+    ("builtins", "range"),
+}
+# torch storage classes live at top level (torch.FloatStorage, ...).
+_SAFE_GLOBALS.update(
+    ("torch", n + "Storage")
+    for n in ("Float", "Double", "Half", "BFloat16", "Long", "Int", "Short",
+              "Char", "Byte", "Bool", "ComplexFloat", "ComplexDouble",
+              "QInt8", "QUInt8", "QInt32", "Untyped")
 )
 
 
@@ -56,7 +92,7 @@ class _StubObject:
 
 class _RestrictedUnpickler(pickle.Unpickler):
     def find_class(self, module, name):
-        if any((module + ".").startswith(p + ".") for p in _SAFE_MODULE_PREFIXES):
+        if (module, name) in _SAFE_GLOBALS:
             return super().find_class(module, name)
         return _StubObject
 

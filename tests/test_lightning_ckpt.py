@@ -132,3 +132,53 @@ def test_pipeline_bridge_end_to_end(ckpt_path):
             torch.from_numpy(crops.transpose(0, 3, 1, 2))
         ).numpy()
     np.testing.assert_allclose(emb, t_emb, rtol=3e-3, atol=3e-3)
+
+
+def test_malicious_pickle_does_not_execute(tmp_path):
+    """A crafted container reducing through builtins.eval / os.system must
+    load as inert stubs, never execute (ADVICE r2: a module-prefix
+    allowlist containing 'builtins' would resolve eval via GLOBAL+REDUCE)."""
+    import pickle
+
+    flag = tmp_path / "pwned"
+
+    class Evil:
+        def __reduce__(self):
+            return (eval, (f"open({str(flag)!r}, 'w').write('x')",))
+
+    class EvilGetattr:
+        def __reduce__(self):
+            # getattr(builtins, 'eval') ladder — defeats name-only filters.
+            return (getattr, (__builtins__, "eval"))
+
+    path = tmp_path / "evil.ckpt"
+    with open(path, "wb") as f:
+        pickle.dump({"state_dict": {"w": Evil()}, "h": EvilGetattr()}, f)
+
+    from playaid_core_tpu.models.lightning_ckpt import _RestrictedPickleModule
+
+    with open(path, "rb") as f:
+        loaded = _RestrictedPickleModule.load(f)
+    assert not flag.exists(), "restricted unpickler executed attacker code"
+    assert repr(loaded["state_dict"]["w"]) == "<ckpt stub>"
+    assert repr(loaded["h"]) == "<ckpt stub>"
+
+
+def test_torch_load_path_rejects_malicious_zip(tmp_path):
+    """Same attack through the real torch.save container format + the
+    public load_lightning_checkpoint entry point."""
+    import torch as _torch
+
+    flag = tmp_path / "pwned2"
+
+    class Evil:
+        def __reduce__(self):
+            return (eval, (f"open({str(flag)!r}, 'w').write('x')",))
+
+    path = str(tmp_path / "evil2.ckpt")
+    _torch.save({"state_dict": {"w": _torch.zeros(2), "e": Evil()}}, path)
+    ckpt = load_lightning_checkpoint(path)
+    assert not flag.exists(), "load_lightning_checkpoint executed attacker code"
+    sd = extract_state_dict(ckpt)
+    np.testing.assert_array_equal(np.asarray(sd["w"]), np.zeros(2, np.float32))
+    assert repr(sd["e"]) == "<ckpt stub>"

@@ -349,3 +349,57 @@ class TestVodAnalyzerNative:
         labels = result["labels"]
         assert labels.shape == (60, 2)
         assert np.array_equal(labels[0::2], labels[1::2])
+
+
+def test_consumer_failure_stops_producers(tmp_path):
+    """A consumer that dies mid-run must not leave the staging thread
+    blocked on its queue or decoder workers decoding (ADVICE r2:
+    analyze_many leaked a thread + decoder handles per failed job)."""
+    import threading
+    import time
+
+    import jax
+    from playaid_core_tpu.infer.pipeline import BatchedActionPipeline
+    from playaid_core_tpu.infer.vod_pipeline import VodAnalyzer
+
+    path = str(tmp_path / "v.mp4")
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 60,
+                             (320, 180))
+    for _ in range(120):
+        writer.write(np.full((180, 320, 3), 60, np.uint8))
+    writer.release()
+    boxes = np.tile(np.array([0.5, 0.5, 0.3, 0.3], np.float32), (120, 2, 1))
+
+    pipe = BatchedActionPipeline(family="cnn", num_actions=4,
+                                 sequence_length=3, frame_delta=1)
+    variables = pipe.init(jax.random.PRNGKey(0))
+    analyzer = VodAnalyzer(pipe, variables=variables, chunk=12,
+                           decode_backend="native")
+
+    calls = {"n": 0}
+
+    def make_failing(real):
+        def failing_embed(v, x):
+            calls["n"] += 1
+            if calls["n"] >= 2:
+                raise RuntimeError("injected device failure")
+            return real(v, x)
+        return failing_embed
+
+    real_u8, real_yuv = pipe.embed_crops_u8, pipe.embed_crops_yuv
+    pipe.embed_crops_u8 = make_failing(real_u8)
+    pipe.embed_crops_yuv = make_failing(real_yuv)
+    before = threading.active_count()
+    try:
+        with pytest.raises(RuntimeError, match="injected device failure"):
+            analyzer.analyze(path, boxes)
+    finally:
+        pipe.embed_crops_u8, pipe.embed_crops_yuv = real_u8, real_yuv
+    # Producers must wind down promptly (staging thread joined in the
+    # consumer's finally; decoder workers exit via close()).
+    deadline = time.time() + 15.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.1)
+    assert threading.active_count() <= before, (
+        f"leaked threads: {threading.enumerate()}"
+    )
