@@ -1,0 +1,683 @@
+"""Procedural articulated fighter sprites: >=26 moves x 6 fighters.
+
+The round-2 capstone proved the pixels-only stack on a 3-move / 2-shape
+toy; the reference's deployed operating point is a 46-move trained subset
+across multiple characters (reference: anim_ontology.py:612-659,
+constants.py:51).  This module closes that scale gap synthetically: a 2D
+skeletal fighter (hip/torso/head/arms/legs + optional weapon) rendered
+with per-move keyframe animation, so every action class is distinguished
+by POSE and MOTION — not by a per-class color key — and every fighter is
+distinguished by body proportions, silhouette, palette and markers, the
+same cues the real game gives the detector and action model.
+
+Sprite sets are written in the clean-char layout the synth dataset and
+composite generator consume (``{char}/{Move}/{char}_{body}_{move}_frame_
+{cam}_{i}.png`` — reference: dataset_utils.py:429-506), tight-cropped to
+the figure so composite bounding boxes are accurate.
+
+Held-out evaluation: ``style_variant(seed)`` produces deterministic
+palette + proportion jitters; training uses one set of variant seeds and
+the eval generator an unseen one, so capstone scores measure
+generalization across appearance, not memorization of exact sprites.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass, field, replace
+
+import cv2
+import numpy as np
+
+TAU = 2 * math.pi
+
+# All 26 moves are members of the reference's 46-move trained subset
+# (reference: anim_ontology.py:612-659 TRAINED_ACTIONS_2_17).
+MOVES = [
+    "Wait", "Walk", "Run", "Dash", "Squat", "Jump", "Fall",
+    "Jab", "DashAttack", "ForwardTilt", "UpTilt", "DownTilt",
+    "ForwardSmash", "UpSmash", "DownSmash",
+    "NeutralAir", "ForwardAir", "BackAir", "UpAir", "DownAir",
+    "NeutralSpecial", "Grab", "Shield", "SpotDodge", "Roll", "Turn",
+]
+
+
+@dataclass
+class FighterStyle:
+    """Proportions + palette + silhouette markers for one fighter."""
+
+    name: str
+    scale: float = 1.0          # overall body scale
+    head_r: float = 13.0
+    torso_len: float = 34.0
+    shoulder_w: float = 10.0
+    upper_arm: float = 18.0
+    forearm: float = 16.0
+    thigh: float = 20.0
+    shin: float = 18.0
+    thickness: float = 7.0
+    head_shape: str = "circle"   # circle | square | triangle | hex
+    marker: str = "none"         # none | dot | stripe | ears | tail
+    weapon_len: float = 0.0      # drawn from the front hand when attacking
+    body_color: tuple = (60, 60, 200)    # BGR
+    limb_color: tuple = (40, 40, 140)
+    head_color: tuple = (80, 80, 220)
+    marker_color: tuple = (255, 255, 255)
+
+
+# Six fighters matching constants.CHAR_LIST.  Silhouette AND palette both
+# carry identity (like real characters), so detection does not hinge on a
+# single cue.
+FIGHTER_STYLES = {
+    "Byleth": FighterStyle(
+        name="Byleth", scale=1.0, weapon_len=30.0, head_shape="circle",
+        marker="stripe", body_color=(70, 60, 185), limb_color=(50, 40, 120),
+        head_color=(95, 150, 230), marker_color=(40, 220, 240),
+    ),
+    "Diddy Kong": FighterStyle(
+        name="Diddy Kong", scale=0.88, head_r=14.5, torso_len=26.0,
+        upper_arm=21.0, forearm=19.0, thigh=15.0, shin=13.0, thickness=8.0,
+        head_shape="circle", marker="tail", body_color=(50, 90, 170),
+        limb_color=(60, 120, 190), head_color=(120, 180, 235),
+        marker_color=(60, 120, 190),
+    ),
+    "Pikachu": FighterStyle(
+        name="Pikachu", scale=0.82, head_r=16.0, torso_len=22.0,
+        upper_arm=12.0, forearm=10.0, thigh=13.0, shin=11.0, thickness=9.0,
+        head_shape="circle", marker="ears", body_color=(60, 210, 235),
+        limb_color=(40, 160, 200), head_color=(70, 220, 245),
+        marker_color=(30, 40, 40),
+    ),
+    "Joker": FighterStyle(
+        name="Joker", scale=1.02, head_r=11.0, torso_len=36.0,
+        upper_arm=19.0, forearm=18.0, thigh=22.0, shin=20.0, thickness=5.5,
+        head_shape="triangle", marker="none", weapon_len=16.0,
+        body_color=(90, 50, 50), limb_color=(60, 35, 35),
+        head_color=(200, 200, 210), marker_color=(200, 200, 210),
+    ),
+    "Donkey Kong": FighterStyle(
+        name="Donkey Kong", scale=1.18, head_r=13.0, torso_len=36.0,
+        shoulder_w=16.0, upper_arm=26.0, forearm=24.0, thigh=16.0, shin=14.0,
+        thickness=11.0, head_shape="square", marker="stripe",
+        body_color=(30, 70, 120), limb_color=(25, 55, 95),
+        head_color=(90, 150, 200), marker_color=(60, 40, 160),
+    ),
+    "Jigglypuff": FighterStyle(
+        name="Jigglypuff", scale=0.78, head_r=22.0, torso_len=14.0,
+        upper_arm=10.0, forearm=8.0, thigh=10.0, shin=9.0, thickness=8.5,
+        head_shape="circle", marker="dot", body_color=(220, 170, 245),
+        limb_color=(190, 130, 225), head_color=(230, 185, 250),
+        marker_color=(200, 90, 150),
+    ),
+}
+
+
+def style_variant(style: FighterStyle, seed: int) -> FighterStyle:
+    """Deterministic appearance variant: small hue/brightness shift +
+    proportion jitter.  Distinct seed pools for train vs eval make the
+    eval distribution genuinely unseen."""
+    if seed == 0:
+        return style
+    rng = np.random.default_rng(seed * 7919 + hash(style.name) % 10007)
+
+    def shift(c):
+        hsv = cv2.cvtColor(np.uint8([[list(c)]]), cv2.COLOR_BGR2HSV).astype(int)
+        hsv[0, 0, 0] = (hsv[0, 0, 0] + rng.integers(-14, 15)) % 180
+        hsv[0, 0, 1] = np.clip(hsv[0, 0, 1] + rng.integers(-25, 26), 40, 255)
+        hsv[0, 0, 2] = np.clip(hsv[0, 0, 2] + rng.integers(-25, 26), 50, 255)
+        return tuple(int(v) for v in
+                     cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2BGR)[0, 0])
+
+    j = lambda v: float(v * rng.uniform(0.93, 1.07))  # noqa: E731
+    return replace(
+        style,
+        body_color=shift(style.body_color),
+        limb_color=shift(style.limb_color),
+        head_color=shift(style.head_color),
+        head_r=j(style.head_r), torso_len=j(style.torso_len),
+        upper_arm=j(style.upper_arm), forearm=j(style.forearm),
+        thigh=j(style.thigh), shin=j(style.shin),
+        thickness=j(style.thickness),
+    )
+
+
+@dataclass
+class Pose:
+    """Joint configuration in body space (y up, origin at hip).
+
+    Arm/leg angles are absolute in the body frame, measured from
+    straight-down; positive rotates toward the facing direction.
+    ``ext`` in [0,1] straightens the elbow/knee toward the same angle.
+    """
+
+    lean: float = 0.0           # torso angle from vertical (+ = forward)
+    head_tilt: float = 0.0
+    crouch: float = 0.08        # 0 = legs straight, 1 = fully folded
+    y_off: float = 0.0          # feet clearance (airborne poses)
+    body_rot: float = 0.0       # whole-figure rotation
+    alpha: float = 1.0          # figure opacity (dodges)
+    # (shoulder_angle, elbow_bend, ext) per arm; arm 0 is the front arm.
+    arms: tuple = ((0.45, 0.5, 0.0), (-0.35, 0.4, 0.0))
+    # (hip_angle, knee_bend, ext) per leg; leg 0 is the front leg.
+    legs: tuple = ((0.14, 0.1, 0.0), (-0.14, 0.1, 0.0))
+    weapon: float | None = None  # weapon angle (from down) on front hand
+    effects: list = field(default_factory=list)
+
+
+def _p(origin, angle, length):
+    """Point at `length` from `origin` along `angle` (0 = down, + = front)."""
+    return (origin[0] + length * math.sin(angle), origin[1] - length * math.cos(angle))
+
+
+def _up(origin, angle, length):
+    """Point `length` above `origin`, tilted by `angle` toward the front
+    (torso / head direction)."""
+    return (origin[0] + length * math.sin(angle), origin[1] + length * math.cos(angle))
+
+
+def _arm_points(shoulder, a, upper, fore):
+    angle, bend, ext = a
+    elbow_angle = angle + bend * (1.0 - ext)
+    elbow = _p(shoulder, angle, upper)
+    hand = _p(elbow, elbow_angle, fore)
+    return elbow, hand
+
+
+# --- move pose functions: phase in [0, 1) -> Pose ----------------------------
+
+
+def _swing(p):
+    return math.sin(TAU * p)
+
+
+def _ramp(p, peak=0.45):
+    """0 -> 1 by `peak`, hold, ease out at the end (attack envelope)."""
+    if p < peak:
+        return math.sin(0.5 * math.pi * p / peak)
+    if p > 0.85:
+        return max(0.0, 1.0 - (p - 0.85) / 0.15)
+    return 1.0
+
+
+def pose_wait(p):
+    bob = 0.04 * _swing(p)
+    return Pose(crouch=0.10 + bob,
+                arms=((0.38 + 0.05 * _swing(p), 0.5, 0.0),
+                      (-0.32 - 0.05 * _swing(p), 0.45, 0.0)))
+
+
+def pose_walk(p):
+    s = _swing(p)
+    return Pose(lean=0.08, crouch=0.10,
+                arms=((0.30 * -s, 0.5, 0.1), (0.30 * s, 0.5, 0.1)),
+                legs=((0.45 * s, 0.35 * max(0, -s), 0.3),
+                      (-0.45 * s, 0.35 * max(0, s), 0.3)))
+
+
+def pose_run(p):
+    s = _swing(p)
+    return Pose(lean=0.38, crouch=0.16,
+                arms=((0.8 * -s, 1.5, 0.0), (0.8 * s, 1.5, 0.0)),
+                legs=((0.85 * s, 0.9 * max(0, -s), 0.45),
+                      (-0.85 * s, 0.9 * max(0, s), 0.45)))
+
+
+def pose_dash(p):
+    r = _ramp(p, 0.3)
+    return Pose(lean=0.62 * r, crouch=0.22,
+                arms=((-0.5 * r, 0.7, 0.3), (0.9 * r, 0.6, 0.4)),
+                legs=((1.05 * r, 0.1, 0.8), (-0.75 * r, 0.8, 0.2)),
+                effects=[("speed", -30, 30)])
+
+
+def pose_squat(p):
+    return Pose(crouch=0.62 + 0.04 * _swing(p), lean=0.18,
+                arms=((0.9, 1.2, 0.0), (-0.2, 1.1, 0.0)),
+                legs=((0.4, 1.3, 0.0), (-0.4, 1.3, 0.0)))
+
+
+def pose_jump(p):
+    h = math.sin(math.pi * min(p * 1.2, 1.0))
+    return Pose(y_off=26 * h, crouch=0.12,
+                arms=((2.6, 0.3, 0.6), (-2.6 + 0.2 * _swing(p), 0.3, 0.6)),
+                legs=((0.55, 1.5, 0.0), (-0.45, 1.6, 0.0)))
+
+
+def pose_fall(p):
+    w = 0.15 * _swing(2 * p)
+    return Pose(y_off=20, lean=-0.18, crouch=0.06,
+                arms=((2.3 + w, 0.4, 0.5), (-2.3 - w, 0.4, 0.5)),
+                legs=((0.45 + w, 0.5, 0.2), (-0.45 - w, 0.5, 0.2)))
+
+
+def pose_jab(p):
+    r = _ramp(p, 0.3)
+    eff = [("burst", 52, 36, 7)] if r > 0.9 else []
+    return Pose(lean=0.12 * r,
+                arms=((1.57 * r + 0.2 * (1 - r), 1.2 * (1 - r), r),
+                      (-0.5, 1.3, 0.0)),
+                legs=((0.3 * r, 0.15, 0.2), (-0.25, 0.2, 0.2)),
+                effects=eff)
+
+
+def pose_dash_attack(p):
+    r = _ramp(p, 0.35)
+    return Pose(lean=0.8 * r, crouch=0.3, y_off=2,
+                arms=((-0.9 * r, 0.5, 0.5), (-1.3 * r, 0.4, 0.5)),
+                legs=((1.25 * r, 0.05, 0.9), (0.9 * r, 0.2, 0.7)),
+                effects=[("dust", 0, 0)])
+
+
+def pose_ftilt(p):
+    r = _ramp(p)
+    return Pose(lean=-0.1 * r,
+                arms=((0.7, 1.4, 0.0), (-0.7, 1.2, 0.0)),
+                legs=((1.5 * r, 0.9 * (1 - r), r), (-0.2, 0.25, 0.1)))
+
+
+def pose_utilt(p):
+    r = _ramp(p)
+    eff = [("arc", 0, 95, 42, 210, 330)] if r > 0.75 else []
+    return Pose(arms=((3.05 * r + 0.4 * (1 - r), 0.9 * (1 - r), r),
+                      (-0.45, 0.6, 0.0)),
+                legs=((0.2, 0.25, 0.1), (-0.25, 0.25, 0.1)),
+                effects=eff)
+
+
+def pose_dtilt(p):
+    r = _ramp(p)
+    return Pose(crouch=0.58, lean=0.3,
+                arms=((0.5, 1.3, 0.0), (-0.9, 1.0, 0.0)),
+                legs=((1.55 * r, 0.4 * (1 - r), r), (-0.5, 1.35, 0.0)))
+
+
+def pose_fsmash(p):
+    # windup behind, then a big committed forward swing
+    if p < 0.4:
+        a = -0.9 * math.sin(0.5 * math.pi * p / 0.4)
+        return Pose(lean=-0.15, arms=((a, 0.5, 0.7), (-0.4, 0.8, 0.0)),
+                    legs=((0.3, 0.2, 0.2), (-0.35, 0.3, 0.2)), weapon=a)
+    r = min(1.0, (p - 0.4) / 0.25)
+    a = -0.9 + 2.6 * r
+    eff = [("arc", 55, 40, 48, -70, 70)] if r >= 1.0 and p < 0.85 else []
+    return Pose(lean=0.3 * r, arms=((a, 0.1, 0.95), (-0.5, 0.9, 0.0)),
+                legs=((0.55 * r, 0.1, 0.4), (-0.45, 0.4, 0.2)),
+                weapon=a, effects=eff)
+
+
+def pose_usmash(p):
+    if p < 0.35:
+        a = 0.9 * math.sin(0.5 * math.pi * p / 0.35)
+        return Pose(crouch=0.3, arms=((a, 0.6, 0.6), (-0.4, 0.6, 0.0)), weapon=a)
+    r = min(1.0, (p - 0.35) / 0.3)
+    a = 0.9 + (math.pi - 0.9) * r
+    eff = [("arc", 0, 105, 52, 190, 350)] if r >= 1.0 else []
+    return Pose(crouch=0.08 * (1 - r),
+                arms=((a, 0.05, 0.95), (-0.6, 0.8, 0.2)),
+                legs=((0.25, 0.1, 0.3), (-0.25, 0.1, 0.3)),
+                weapon=a, effects=eff)
+
+
+def pose_dsmash(p):
+    r = _ramp(p, 0.4)
+    eff = [("arc", 48, -6, 26, 120, 240), ("arc", -48, -6, 26, -60, 60)] if r > 0.85 else []
+    return Pose(crouch=0.42, lean=0.0,
+                arms=((1.35 * r + 0.3, 0.2, 0.8), (-1.35 * r - 0.3, 0.2, 0.8)),
+                legs=((0.5, 1.0, 0.1), (-0.5, 1.0, 0.1)),
+                effects=eff)
+
+
+def pose_nair(p):
+    rot = 0.35 * _swing(p)
+    return Pose(y_off=22, body_rot=rot, crouch=0.1,
+                arms=((1.9, 0.1, 0.8), (-1.9, 0.1, 0.8)),
+                legs=((0.85, 0.1, 0.7), (-0.85, 0.1, 0.7)),
+                effects=[("ring", 0, 38, 58)])
+
+
+def pose_fair(p):
+    r = _ramp(p)
+    return Pose(y_off=22, lean=0.25,
+                arms=((-1.2, 0.5, 0.4), (-0.7, 0.8, 0.2)),
+                legs=((2.2 * r * 0.65 + 0.4, 0.8 * (1 - r), r), (-0.6, 1.2, 0.0)))
+
+
+def pose_bair(p):
+    r = _ramp(p)
+    return Pose(y_off=22, lean=0.35,
+                arms=((1.1, 0.6, 0.3), (0.6, 0.9, 0.2)),
+                legs=((-1.75 * r - 0.2, 0.7 * (1 - r), r), (0.5, 1.2, 0.0)))
+
+
+def pose_uair(p):
+    r = _ramp(p)
+    return Pose(y_off=24, lean=-0.35,
+                arms=((0.9, 1.1, 0.1), (-0.9, 1.1, 0.1)),
+                legs=((2.95 * r + 0.3 * (1 - r), 0.5 * (1 - r), r),
+                      (-0.5, 1.0, 0.1)))
+
+
+def pose_dair(p):
+    r = _ramp(p)
+    return Pose(y_off=26, lean=0.05, crouch=0.0,
+                arms=((2.5, 0.3, 0.6), (-2.5, 0.3, 0.6)),
+                legs=((0.02, 0.05 * (1 - r), r), (-0.5, 1.4, 0.0)))
+
+
+def pose_nspecial(p):
+    r = _ramp(p, 0.3)
+    eff = []
+    if p > 0.3:
+        eff = [("proj", 55 + 70 * (p - 0.3) / 0.7, 38, 9)]
+    return Pose(lean=0.1,
+                arms=((1.57 * r, 0.8 * (1 - r), r), (-0.6, 1.0, 0.0)),
+                legs=((0.3, 0.15, 0.2), (-0.3, 0.2, 0.2)),
+                effects=eff)
+
+
+def pose_grab(p):
+    r = _ramp(p, 0.35)
+    return Pose(lean=0.22 * r,
+                arms=((1.5 * r + 0.2, 0.25 * (1 - r), r),
+                      (1.25 * r - 0.3, 0.3 * (1 - r), r)),
+                legs=((0.35 * r, 0.2, 0.2), (-0.3, 0.25, 0.2)))
+
+
+def pose_shield(p):
+    s = 0.03 * _swing(p)
+    return Pose(crouch=0.25 + s,
+                arms=((0.9, 1.5, 0.0), (-0.9, 1.5, 0.0)),
+                legs=((0.3, 0.5, 0.0), (-0.3, 0.5, 0.0)),
+                effects=[("bubble", 0, 34, 66 + 3 * _swing(p))])
+
+
+def pose_spotdodge(p):
+    r = _ramp(p, 0.25)
+    return Pose(lean=-0.35 * r, crouch=0.3, alpha=1.0 - 0.5 * r,
+                arms=((0.9, 1.4, 0.0), (-1.2, 1.2, 0.0)),
+                legs=((0.45, 0.6, 0.0), (-0.4, 0.6, 0.0)),
+                effects=[("ghost", -14, 0)] if r > 0.5 else [])
+
+
+def pose_roll(p):
+    return Pose(body_rot=TAU * p, crouch=0.95, y_off=6, head_tilt=0.6,
+                arms=((1.3, 2.2, 0.0), (-1.3, 2.2, 0.0)),
+                legs=((0.9, 2.3, 0.0), (-0.9, 2.3, 0.0)),
+                effects=[("dust", 0, 0)])
+
+
+def pose_turn(p):
+    r = _ramp(p, 0.4)
+    return Pose(lean=-0.3 * r, head_tilt=-0.85 * r,
+                arms=((-0.9 * r + 0.4, 0.6, 0.1), (0.9 * r - 0.35, 0.6, 0.1)),
+                legs=((-0.35 * r + 0.15, 0.25, 0.1), (0.3 * r - 0.15, 0.25, 0.1)))
+
+
+POSE_FUNCS = {
+    "Wait": pose_wait, "Walk": pose_walk, "Run": pose_run, "Dash": pose_dash,
+    "Squat": pose_squat, "Jump": pose_jump, "Fall": pose_fall,
+    "Jab": pose_jab, "DashAttack": pose_dash_attack,
+    "ForwardTilt": pose_ftilt, "UpTilt": pose_utilt, "DownTilt": pose_dtilt,
+    "ForwardSmash": pose_fsmash, "UpSmash": pose_usmash, "DownSmash": pose_dsmash,
+    "NeutralAir": pose_nair, "ForwardAir": pose_fair, "BackAir": pose_bair,
+    "UpAir": pose_uair, "DownAir": pose_dair,
+    "NeutralSpecial": pose_nspecial, "Grab": pose_grab, "Shield": pose_shield,
+    "SpotDodge": pose_spotdodge, "Roll": pose_roll, "Turn": pose_turn,
+}
+
+assert set(POSE_FUNCS) == set(MOVES)
+
+EFFECT_COLOR = (235, 235, 235)  # shared across moves: geometry, not color,
+                                # carries the class signal
+
+
+def render_sprite(fighter, move, phase, size=176, facing=1, style=None,
+                  variant_seed=0, noise_rng=None):
+    """Render one RGBA sprite frame.
+
+    ``facing``: +1 faces right, -1 left (mirrored).  ``variant_seed``
+    selects a deterministic appearance variant (0 = canonical).
+    """
+    st = style or FIGHTER_STYLES[fighter]
+    if variant_seed:
+        st = style_variant(st, variant_seed)
+    pose = POSE_FUNCS[move](phase % 1.0)
+
+    s = st.scale * size / 176.0
+    img = np.zeros((size, size, 4), np.uint8)
+
+    leg_reach = (st.thigh + st.shin) * (1.0 - 0.6 * pose.crouch)
+    ground_y = size - 6 - pose.y_off * s
+    hip = np.array([size * 0.5, ground_y - leg_reach * s], np.float64)
+
+    cos_r, sin_r = math.cos(pose.body_rot), math.sin(pose.body_rot)
+
+    def to_img(pt):
+        """Body space (y up, x toward facing) -> image px, with whole-body
+        rotation about the hip."""
+        x, y = pt
+        xr = x * cos_r - y * sin_r
+        yr = x * sin_r + y * cos_r
+        return (int(round(hip[0] + facing * xr * s)),
+                int(round(hip[1] - yr * s)))
+
+    th = max(2, int(round(st.thickness * s)))
+    layer = np.zeros_like(img)
+
+    # shield bubble renders BEHIND the body (fill first, ring after body)
+    for eff in pose.effects:
+        if eff[0] == "bubble":
+            _, ex, ey, er = eff
+            cv2.circle(layer, to_img((ex, ey + 10)), int(er * s),
+                       (*EFFECT_COLOR, 70), -1, cv2.LINE_AA)
+
+    def line(a, b, color, t=None):
+        cv2.line(layer, to_img(a), to_img(b), (*color, 255),
+                 t or th, cv2.LINE_AA)
+
+    # legs (back first so the front leg overdraws it)
+    for i, (angle, bend, ext) in list(enumerate(pose.legs))[::-1]:
+        hip_pt = (2.0 if i == 0 else -2.0, 0.0)
+        # knee flexion pulls the shin behind the thigh direction
+        knee_angle = angle - bend * (1.0 - ext)
+        knee = _p(hip_pt, angle, st.thigh * (1.0 - 0.6 * pose.crouch))
+        foot = _p(knee, knee_angle, st.shin * (1.0 - 0.6 * pose.crouch))
+        c = st.limb_color if i else tuple(min(255, v + 25) for v in st.limb_color)
+        line(hip_pt, knee, c)
+        line(knee, foot, c)
+
+    # torso
+    neck = _up((0.0, 0.0), pose.lean, st.torso_len)
+    cv2.line(layer, to_img((0.0, 0.0)), to_img(neck), (*st.body_color, 255),
+             int(th * 1.6), cv2.LINE_AA)
+
+    # back arm behind torso? draw back arm now, front arm after head
+    def draw_arm(i):
+        a = pose.arms[i]
+        sh = (neck[0], neck[1] - 2.0 / max(st.scale, 0.1))
+        elbow, hand = _arm_points(sh, a, st.upper_arm, st.forearm)
+        c = st.limb_color if i else tuple(min(255, v + 25) for v in st.limb_color)
+        line(sh, elbow, c)
+        line(elbow, hand, c)
+        if i == 0 and pose.weapon is not None and st.weapon_len > 0:
+            tip = _p(hand, pose.weapon, st.weapon_len)
+            line(hand, tip, (200, 220, 230), max(2, th // 2))
+            cv2.circle(layer, to_img(hand), max(2, th // 2 + 1),
+                       (60, 70, 80, 255), -1, cv2.LINE_AA)
+        return hand
+
+    draw_arm(1)
+
+    # head
+    head_dir = pose.lean + pose.head_tilt
+    head_c = _up(neck, head_dir, st.head_r * 0.9 + 3.0)
+    hc = to_img(head_c)
+    hr = max(3, int(round(st.head_r * s)))
+    if st.head_shape == "circle":
+        cv2.circle(layer, hc, hr, (*st.head_color, 255), -1, cv2.LINE_AA)
+    elif st.head_shape == "square":
+        cv2.rectangle(layer, (hc[0] - hr, hc[1] - hr), (hc[0] + hr, hc[1] + hr),
+                      (*st.head_color, 255), -1, cv2.LINE_AA)
+    elif st.head_shape == "triangle":
+        pts = np.array([(hc[0], hc[1] - hr), (hc[0] - hr, hc[1] + hr),
+                        (hc[0] + hr, hc[1] + hr)])
+        cv2.fillPoly(layer, [pts], (*st.head_color, 255), cv2.LINE_AA)
+    else:  # hex
+        ang = np.arange(6) * TAU / 6
+        pts = np.stack([hc[0] + hr * np.cos(ang), hc[1] + hr * np.sin(ang)],
+                       1).astype(np.int32)
+        cv2.fillPoly(layer, [pts], (*st.head_color, 255), cv2.LINE_AA)
+
+    # eye dot marks facing
+    eye = (hc[0] + int(facing * hr * 0.45), hc[1] - int(hr * 0.2))
+    cv2.circle(layer, eye, max(1, hr // 5), (30, 30, 30, 255), -1, cv2.LINE_AA)
+
+    # fighter markers
+    if st.marker == "ears":
+        for sx in (-1, 1):
+            base = (hc[0] + sx * int(hr * 0.55), hc[1] - int(hr * 0.75))
+            tip = (hc[0] + sx * int(hr * 0.95), hc[1] - int(hr * 1.9))
+            pts = np.array([base, tip, (base[0] + sx * int(hr * 0.45), base[1])])
+            cv2.fillPoly(layer, [pts], (*st.head_color, 255), cv2.LINE_AA)
+            cv2.circle(layer, tip, max(1, hr // 4), (*st.marker_color, 255), -1,
+                       cv2.LINE_AA)
+    elif st.marker == "dot":
+        cv2.circle(layer, (hc[0] - int(facing * hr * 0.5), hc[1] + int(hr * 0.35)),
+                   max(2, hr // 3), (*st.marker_color, 255), -1, cv2.LINE_AA)
+    elif st.marker == "stripe":
+        mid = to_img(_up((0.0, 0.0), pose.lean, st.torso_len * 0.55))
+        cv2.circle(layer, mid, int(th * 0.8), (*st.marker_color, 255), -1,
+                   cv2.LINE_AA)
+    elif st.marker == "tail":
+        t0 = to_img((-3.0, 2.0))
+        t1 = to_img((-st.torso_len * 0.85, st.torso_len * 0.35))
+        t2 = to_img((-st.torso_len * 1.0, st.torso_len * 1.05))
+        cv2.line(layer, t0, t1, (*st.limb_color, 255), max(2, int(th * 0.6)),
+                 cv2.LINE_AA)
+        cv2.line(layer, t1, t2, (*st.limb_color, 255), max(2, int(th * 0.6)),
+                 cv2.LINE_AA)
+
+    hand_front = draw_arm(0)
+
+    # effects (shared color: class-informative geometry, not a color key)
+    for eff in pose.effects:
+        kind = eff[0]
+        if kind == "arc":
+            _, ex, ey, er, a0, a1 = eff
+            center = to_img((ex, ey))
+            if facing < 0:
+                a0, a1 = 180 - a1, 180 - a0
+            cv2.ellipse(layer, center, (int(er * s), int(er * s)), 0, a0, a1,
+                        (*EFFECT_COLOR, 230), max(2, th // 2), cv2.LINE_AA)
+        elif kind == "ring":
+            _, ex, ey, er = eff
+            cv2.circle(layer, to_img((ex, ey)), int(er * s),
+                       (*EFFECT_COLOR, 180), max(2, th // 3), cv2.LINE_AA)
+        elif kind == "bubble":
+            _, ex, ey, er = eff
+            cv2.circle(layer, to_img((ex, ey + 10)), int(er * s),
+                       (*EFFECT_COLOR, 220), max(2, th // 3), cv2.LINE_AA)
+        elif kind == "proj":
+            _, ex, ey, er = eff
+            cv2.circle(layer, to_img((ex, ey)), int(er * s),
+                       (*EFFECT_COLOR, 255), -1, cv2.LINE_AA)
+        elif kind == "burst":
+            _, ex, ey, er = eff
+            c = to_img((ex, ey))
+            for a in np.arange(0, TAU, TAU / 6):
+                cv2.line(layer, c,
+                         (c[0] + int(er * s * 1.8 * math.cos(a)),
+                          c[1] + int(er * s * 1.8 * math.sin(a))),
+                         (*EFFECT_COLOR, 220), max(1, th // 3), cv2.LINE_AA)
+        elif kind == "speed":
+            for dy in (-12, 0, 12):
+                a = to_img((-28, 26 + dy))
+                b = to_img((-58, 26 + dy))
+                cv2.line(layer, a, b, (*EFFECT_COLOR, 150), max(1, th // 3),
+                         cv2.LINE_AA)
+        elif kind == "dust":
+            base = to_img((-14, -leg_reach * 0.95))
+            cv2.ellipse(layer, base, (int(16 * s), int(7 * s)), 0, 0, 360,
+                        (*EFFECT_COLOR, 130), -1, cv2.LINE_AA)
+        elif kind == "ghost":
+            pass  # handled below (offset copy)
+
+    if pose.alpha < 1.0:
+        layer[:, :, 3] = (layer[:, :, 3].astype(np.float32) * pose.alpha
+                          ).astype(np.uint8)
+    if any(e[0] == "ghost" for e in pose.effects):
+        dx = int(-facing * 14 * s)
+        ghost = np.roll(layer, dx, axis=1)
+        ghost[:, :, 3] = ghost[:, :, 3] // 3
+        mask = layer[:, :, 3:4].astype(np.uint16)
+        inv = 255 - mask
+        img[:, :, :] = ((ghost.astype(np.uint16) * inv) // 255).astype(np.uint8)
+
+    # composite layer over img (img empty unless ghost)
+    mask = layer[:, :, 3:4].astype(np.uint16)
+    img[:, :, :3] = ((layer[:, :, :3].astype(np.uint16) * mask
+                      + img[:, :, :3].astype(np.uint16) * (255 - mask)) // 255
+                     ).astype(np.uint8)
+    img[:, :, 3] = np.maximum(img[:, :, 3], layer[:, :, 3])
+
+    if noise_rng is not None:
+        vis = img[:, :, 3] > 0
+        noise = noise_rng.integers(-12, 13, (size, size, 3))
+        img[:, :, :3] = np.where(
+            vis[:, :, None],
+            np.clip(img[:, :, :3].astype(int) + noise, 0, 255),
+            img[:, :, :3],
+        ).astype(np.uint8)
+    return img
+
+
+def tight_crop(img, margin=3, min_size=104):
+    """Crop to the alpha bounding box (+margin), padded back out to at
+    least ``min_size`` so the composite generator's 100px floor
+    (reference: gen_synth_char_detection.py:206-207) keeps the sprite."""
+    ys, xs = np.nonzero(img[:, :, 3])
+    if len(ys) == 0:
+        return img
+    y0, y1 = max(0, ys.min() - margin), min(img.shape[0], ys.max() + margin + 1)
+    x0, x1 = max(0, xs.min() - margin), min(img.shape[1], xs.max() + margin + 1)
+    out = img[y0:y1, x0:x1]
+    h, w = out.shape[:2]
+    side = max(h, w, min_size)
+    canvas = np.zeros((side, side, 4), np.uint8)
+    oy, ox = (side - h) // 2, (side - w) // 2
+    canvas[oy:oy + h, ox:ox + w] = out
+    return canvas
+
+
+def generate_sprite_set(root, fighters=None, moves=None, frames_per_move=16,
+                        variant_seeds=(0,), size=176, seed=0, facing_both=True):
+    """Write clean-char sprite sets consumable by the synth dataset and
+    the composite generator.
+
+    Layout: ``{root}/{fighter}/{move}/{fighter_lower}_c{variant:02d}_
+    {move_lower}_frame_{90|270}_{i}.png`` — the cam field encodes facing
+    (90 = right, 270 = left) so each (variant, facing) pair forms its own
+    coherent animation sequence in ``char_anim_dict``.
+    """
+    fighters = fighters or list(FIGHTER_STYLES)
+    moves = moves or MOVES
+    rng = np.random.default_rng(seed)
+    count = 0
+    for fighter in fighters:
+        for move in moves:
+            d = os.path.join(root, fighter, move)
+            os.makedirs(d, exist_ok=True)
+            for v in variant_seeds:
+                for facing, cam in ((1, 90), (-1, 270)) if facing_both else ((1, 90),):
+                    for i in range(frames_per_move):
+                        img = render_sprite(
+                            fighter, move, i / frames_per_move, size=size,
+                            facing=facing, variant_seed=v, noise_rng=rng,
+                        )
+                        img = tight_crop(img)
+                        name = (f"{fighter.lower().replace(' ', '-')}_c{v:02d}_"
+                                f"{move.lower()}_frame_{cam}_{i}.png")
+                        cv2.imwrite(os.path.join(d, name), img)
+                        count += 1
+    return count
