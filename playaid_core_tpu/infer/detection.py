@@ -110,7 +110,7 @@ class JaxCharacterDetector:
     """
 
     def __init__(self, trainer, char_list=None, score_threshold=0.3, max_det=4,
-                 crop_size=128, crop_padding=30, batch_size=16):
+                 crop_size=128, crop_padding=30, batch_size=16, classes=None):
         self.trainer = trainer
         self.char_list = char_list or constants.CHAR_LIST
         self.score_threshold = score_threshold
@@ -118,6 +118,12 @@ class JaxCharacterDetector:
         self.crop_size = crop_size
         self.crop_padding = crop_padding
         self.batch_size = batch_size
+        # Optional class restriction, mirroring the reference's YOLO
+        # ``classes={2, 3}`` match-known-fighters filter
+        # (reference: ai_runner.py:201): stray misclassifications outside
+        # the known pair would otherwise create spurious fighter dirs and
+        # fail the exactly-2-fighters contract.
+        self.classes = set(classes) if classes is not None else None
 
     def run(self, input_video_path, exp_name):
         import cv2
@@ -152,6 +158,8 @@ class JaxCharacterDetector:
                 seen_classes = set()
                 for class_id, score, box in dets:
                     if class_id in seen_classes or not (0 <= class_id < len(self.char_list)):
+                        continue
+                    if self.classes is not None and class_id not in self.classes:
                         continue
                     crop = YoloCrop(*box, confidence=score, class_id=class_id)
                     ok, crop_img = crop.square_crop(

@@ -40,19 +40,36 @@ def _mpl_ttf_dir():
 
 
 def train_fonts():
+    """Training pool: DejaVu + STIX faces only (two foundries).  Every
+    Computer Modern face in the image is excluded so heldout_fonts() can
+    test a genuinely foreign foundry (round-2 verdict: the old held-out
+    pool was DejaVu serif cousins of the training family)."""
     d = _mpl_ttf_dir()
     return [
         os.path.join(d, "DejaVuSans.ttf"),
         os.path.join(d, "DejaVuSans-Bold.ttf"),
+        os.path.join(d, "DejaVuSans-Oblique.ttf"),
+        os.path.join(d, "DejaVuSansDisplay.ttf"),
+        os.path.join(d, "DejaVuSansMono.ttf"),
         os.path.join(d, "DejaVuSansMono-Bold.ttf"),
         os.path.join(d, "STIXGeneral.ttf"),
+        os.path.join(d, "STIXGeneralBol.ttf"),
+        os.path.join(d, "STIXGeneralItalic.ttf"),
     ]
 
 
 def heldout_fonts():
+    """Held out on TWO axes: a foreign foundry (Computer Modern — METAFONT
+    lineage, nothing shared with DejaVu/STIX) and heavy style extremes of
+    the training families (bold-oblique, serif display/italic)."""
     d = _mpl_ttf_dir()
     return [
+        os.path.join(d, "cmr10.ttf"),
+        os.path.join(d, "cmb10.ttf"),
+        os.path.join(d, "cmss10.ttf"),
+        os.path.join(d, "DejaVuSans-BoldOblique.ttf"),
         os.path.join(d, "DejaVuSerif-Bold.ttf"),
+        os.path.join(d, "DejaVuSerif-BoldItalic.ttf"),
         os.path.join(d, "DejaVuSerifDisplay.ttf"),
     ]
 
@@ -154,6 +171,23 @@ def synth_batch(rng, fonts, batch=128, threshold=128):
             blur=int(rng.integers(0, 2)),
             seed=int(rng.integers(0, 2**31)),
         )
+        # Shape augmentation beyond what any one font family shows:
+        # shear (oblique-ness) and stroke weight (erode/dilate) vary far
+        # more across foundries than within one, so training must span
+        # them synthetically to generalize off-foundry.
+        import cv2 as _cv2
+
+        r = rng.random()
+        if r < 0.35:
+            shear = float(rng.uniform(-0.28, 0.28))
+            h_, w_ = crop.shape[:2]
+            m = np.float32([[1, shear, -shear * h_ / 2], [0, 1, 0]])
+            crop = _cv2.warpAffine(crop, m, (w_, h_))
+        r = rng.random()
+        if r < 0.25:
+            k = np.ones((2, 2), np.uint8)
+            crop = (_cv2.dilate(crop, k) if rng.random() < 0.5
+                    else _cv2.erode(crop, k))
         comps, _ = segment_digit_components(crop, threshold=threshold)
         if len(comps) != 1:
             continue  # broken glyph under this style; skip

@@ -14,6 +14,7 @@ data tuples, mirroring the reference's lru_caches
 from __future__ import annotations
 
 import math
+import threading
 from functools import lru_cache
 
 import matplotlib
@@ -109,12 +110,26 @@ def data_to_ys(data, symbol_to_word, anim_to_category, moves):
     return ys
 
 
+_FIG_POOL = threading.local()
+
+
 def _new_axes(width, height, title):
     # Object-oriented Figure API (not pyplot): no global figure registry, so
     # chart rendering is safe under the multi-VOD thread pool
-    # (pipeline/multi.py).
-    fig = Figure(dpi=100)
-    FigureCanvasAgg(fig)
+    # (pipeline/multi.py).  Figures are REUSED per thread: Figure +
+    # FigureCanvasAgg construction dominates a cache-miss redraw (~70 ms
+    # per miss measured on the GT path), while clf + replot is a fraction
+    # of it; pixel output is identical.
+    pool = getattr(_FIG_POOL, "figs", None)
+    if pool is None:
+        pool = _FIG_POOL.figs = {}
+    fig = pool.get((width, height))
+    if fig is None:
+        fig = Figure(dpi=100)
+        FigureCanvasAgg(fig)
+        pool[(width, height)] = fig
+    else:
+        fig.clf()
     ax = fig.add_subplot(111)
     ax.set_title(title, fontsize=8)
     ax.tick_params(labelsize=6)
@@ -429,6 +444,11 @@ def _timeline_strip(title, fighter, stats, moves, removed_words=()):
 
     Returns RGB (not RGBA) with the reference's B<->R swap preserved since
     the annotator writes it straight into an RGBA canvas's RGB channels.
+
+    The drawing is cached on its visible data (last 5 entries + their
+    live counters): strips were redrawn every frame — ~6 ms/frame on the
+    GT path — while their pixels change only on new events or counter
+    updates.
     """
     history_entries = []
     for frame, history in stats.stats[fighter.fighter_id].action_timeline.items():
@@ -436,6 +456,13 @@ def _timeline_strip(title, fighter, stats, moves, removed_words=()):
             counters = stats.move_counters(fighter, history.action)
             history_entries.append((history.action, frame, counters))
 
+    return _timeline_strip_image(
+        title, tuple(history_entries[-5:]), tuple(removed_words)
+    ).copy()
+
+
+@lru_cache(maxsize=64)
+def _timeline_strip_image(title, history_entries, removed_words):
     title_height = 20
     image_width = 400
     image_height = 120

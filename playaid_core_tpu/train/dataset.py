@@ -22,6 +22,7 @@ Samples return (frames[T, H, W, 3] f32/255, char_id, action_ids[T], meta).
 
 from __future__ import annotations
 
+import functools
 import os
 import random
 
@@ -120,6 +121,21 @@ def get_character_actions_animations_dict(clean_char_dir=None):
     return character_animations
 
 
+@functools.lru_cache(maxsize=32768)
+def _load_sprite_rgba_cached(frame_path):
+    char_frame = cv2.imread(frame_path, cv2.IMREAD_UNCHANGED)
+    if char_frame.shape[2] == 3:
+        char_frame = cv2.cvtColor(char_frame, cv2.COLOR_BGR2BGRA)
+    return char_frame
+
+
+def _load_sprite_rgba(frame_path):
+    """Decoded-sprite cache: on the 1-core host, per-sample PNG decode
+    dominates synth batch assembly; sprite sets fit comfortably in RAM
+    (32k frames x ~60 KB < 2 GB).  Returns a copy (augments mutate)."""
+    return _load_sprite_rgba_cached(frame_path).copy()
+
+
 def load_and_composite_sprite(frame_path, stage_crop, synth_difficulty, rng,
                               fill=1.0, center_jitter=0):
     """Paste an (augmented) RGBA sprite mostly-centered onto a stage crop
@@ -136,9 +152,7 @@ def load_and_composite_sprite(frame_path, stage_crop, synth_difficulty, rng,
     """
     stage_crop = stage_crop.copy()
     width, height = stage_crop.size
-    char_frame = cv2.imread(frame_path, cv2.IMREAD_UNCHANGED)
-    if char_frame.shape[2] == 3:
-        char_frame = cv2.cvtColor(char_frame, cv2.COLOR_BGR2BGRA)
+    char_frame = _load_sprite_rgba(frame_path)
     if synth_difficulty:
         char_frame = augment_synth_char_crop(
             char_frame, rng=rng, **SYNTH_DIFFICULTY_SPRITE[synth_difficulty]

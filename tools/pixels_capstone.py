@@ -1,0 +1,559 @@
+#!/usr/bin/env python
+"""Pixels-only capstone at the reference's operating point.
+
+Round 2 proved the self-contained pixels path on a 3-move / 2-shape toy
+(tools/e2e_pixels_demo.py).  This driver scales it to the scale the
+reference actually deploys at (reference: ai_runner.py:164-168 trained
+checkpoint over its action list; anim_ontology.py:612-659 46-move
+trained subset; constants.py:51 six characters):
+
+* 26 trained-subset moves + Unknown (27 action classes), 6 fighters;
+* skeletal-sprite animation sets (pose+motion class signal, not color);
+* CenterNet detector over all 6 characters, class-restricted per match
+  like the reference's YOLO ``classes={2,3}`` (ai_runner.py:201);
+* flagship ResFormer (T=7, frame_delta=3, 128px) action model;
+* HELD-OUT eval distribution: unseen appearance-variant seed, unseen
+  stage texture family, unseen motion/jitter seeds;
+* HUD damage counters rendered in a foreign-foundry font and read
+  end-to-end by the conv OCR (reference: ai_runner.py:537-590);
+* a far-zoom small-sprite eval for the lowres/small-box hard case.
+
+Run on TPU:  python -u tools/pixels_capstone.py [workdir]
+Env budget knobs: DET_STEPS, DET_COMPOSITES, ACT_EPOCHS, ACT_STEPS,
+EVAL_FRAMES, EVAL_PAIRS, SMALL_EVAL (0/1).
+Appends a scored record to docs/pixels_stack_runs.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import cv2
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from playaid_core_tpu.datagen import skeletal_sprites as sk  # noqa: E402
+
+ACTIONS = sk.MOVES + ["Unknown"]
+TRAIN_VARIANTS = (0, 1, 2)
+EVAL_VARIANT = 17            # never generated into the training pool
+ANIM_FRAMES = 16             # frames per move cycle in the sprite sets
+PHASE_STEP = 1.0 / 48.0      # eval video: one 16-frame cycle per 48 frames
+                             # => frame_delta=3 sampling sees 1 anim frame/step
+EVAL_PAIR_SETS = [
+    ("Byleth", "Pikachu"),
+    ("Joker", "Donkey Kong"),
+    ("Diddy Kong", "Jigglypuff"),
+]
+HUD_FONT = "cmb10.ttf"       # Computer Modern: foreign foundry vs the OCR
+                             # training pool (DejaVu/STIX)
+
+
+# ---------------------------------------------------------------------------
+# stages
+# ---------------------------------------------------------------------------
+
+def make_stage(path, seed, kind):
+    """Procedural 1280x720 stage texture.  Train kinds: 'noise',
+    'platforms'.  Eval kind 'bands' is a texture family the training
+    composites never see."""
+    rng = np.random.default_rng(seed)
+    h, w = 720, 1280
+    if kind == "noise":
+        img = rng.integers(20, 90, (h, w, 3), dtype=np.uint8)
+    elif kind == "platforms":
+        base = np.zeros((h, w, 3), np.uint8)
+        base[:] = rng.integers(25, 70, 3)
+        img = base
+        for _ in range(6):
+            x0, y0 = rng.integers(0, w - 200), rng.integers(0, h - 80)
+            ww, hh = rng.integers(120, 420), rng.integers(24, 90)
+            color = rng.integers(30, 110, 3).tolist()
+            cv2.rectangle(img, (x0, y0), (x0 + ww, y0 + hh), color, -1)
+        img = cv2.GaussianBlur(img, (7, 7), 0)
+        noise = rng.integers(-12, 13, img.shape)
+        img = np.clip(img.astype(int) + noise, 0, 255).astype(np.uint8)
+    else:  # "bands": smooth diagonal gradient bands + vignette (eval-only)
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        phase = (xx * 0.006 + yy * 0.004)
+        img = np.stack([
+            45 + 30 * np.sin(phase + i * 2.1) for i in range(3)
+        ], axis=-1)
+        cx, cy = w / 2, h / 2
+        vign = 1.0 - 0.5 * (((xx - cx) / cx) ** 2 + ((yy - cy) / cy) ** 2)
+        img = np.clip(img * vign[..., None], 0, 255).astype(np.uint8)
+        noise = rng.integers(-8, 9, img.shape)
+        img = np.clip(img.astype(int) + noise, 0, 255).astype(np.uint8)
+    cv2.imwrite(path, img)
+    return path
+
+
+# ---------------------------------------------------------------------------
+# eval match generator (held-out distribution)
+# ---------------------------------------------------------------------------
+
+def schedule_moves(rng, num_frames, seg_lo=48, seg_hi=96, unknown_frac=0.05):
+    """Per-frame (move_for_render, label, phase) schedule."""
+    out = []
+    while len(out) < num_frames:
+        if rng.random() < unknown_frac:
+            move = rng.choice(sk.EXTRA_MOVES)
+            label = "Unknown"
+        else:
+            move = rng.choice(sk.MOVES)
+            label = move
+        # segment lengths snap to whole anim cycles so attack envelopes
+        # restart cleanly
+        seg = int(rng.integers(seg_lo // 48, seg_hi // 48 + 1)) * 48
+        for t in range(seg):
+            out.append((move, label, (t * PHASE_STEP) % 1.0))
+    return out[:num_frames]
+
+
+def _draw_hud_damage(frame, damage, region, font_path, cache={}):
+    """Render a Smash-style damage readout (big integer digits, smaller
+    decimal digit, white->red with damage, dim % sign) into the
+    normalized HUD region the damage reader crops
+    (PLAYER_DAMAGE_CROPS, reference: ai_runner.py:537-563)."""
+    from PIL import Image, ImageDraw, ImageFont
+
+    h, w = frame.shape[:2]
+    cx, cy = region["center_x"] * w, region["center_y"] * h
+    rw, rh = region["crop_width"] * w, region["crop_height"] * h
+    x0, y0 = int(cx - rw / 2), int(cy - rh / 2)
+
+    key = (font_path, int(rh))
+    if key not in cache:
+        big = int(rh * 0.78)
+        cache[key] = (ImageFont.truetype(font_path, big),
+                      ImageFont.truetype(font_path, int(big * 0.62)))
+    f_big, f_small = cache[key]
+
+    frac = min(max(damage, 0.0), 999.9) / 150.0
+    fill = (255, int(255 * (1 - 0.85 * min(frac, 1.0))),
+            int(255 * (1 - 0.95 * min(frac, 1.0))))  # RGB
+    whole = int(damage)
+    dec = int(round((damage - whole) * 10)) % 10
+
+    img = Image.new("RGB", (int(rw), int(rh)), (8, 8, 12))
+    draw = ImageDraw.Draw(img)
+    tx = int(rw * 0.06)
+    ty = int(rh * 0.06)
+    s = str(whole)
+    draw.text((tx + 2, ty + 2), s, font=f_big, fill=(15, 10, 10))
+    draw.text((tx, ty), s, font=f_big, fill=fill, stroke_width=2,
+              stroke_fill=(25, 20, 30))
+    bb = draw.textbbox((tx, ty), s, font=f_big)
+    dx = bb[2] + int(rh * 0.06)
+    dy = ty + int(rh * 0.30)
+    draw.text((dx + 1, dy + 1), str(dec), font=f_small, fill=(15, 10, 10))
+    draw.text((dx, dy), str(dec), font=f_small, fill=fill, stroke_width=1,
+              stroke_fill=(25, 20, 30))
+    db = draw.textbbox((dx, dy), str(dec), font=f_small)
+    # % drawn dim (below the reader's segmentation threshold), like a
+    # stylized HUD ornament
+    draw.text((db[2] + 2, dy + 2), "%", font=f_small, fill=(90, 90, 95))
+
+    arr = np.array(img)[:, :, ::-1]  # RGB -> BGR
+    y1, x1 = y0 + arr.shape[0], x0 + arr.shape[1]
+    frame[y0:y1, x0:x1] = arr
+
+
+def make_eval_video(path, pair, num_frames=1800, sprite_px=(88, 150),
+                    seed=1000, variant_seed=EVAL_VARIANT, stage_path=None,
+                    width=1280, height=720, hud=True):
+    """Composite a held-out 2-fighter match; returns per-frame GT.
+
+    Unlike the round-2 toy (procedural shapes, fixed sprite size, train
+    stage), every appearance axis here is held out: variant seed, stage
+    texture family, motion seed, per-segment sprite scale.
+    """
+    rng = np.random.default_rng(seed)
+    stage = cv2.imread(stage_path)
+    stage = cv2.resize(stage, (width, height))
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 60,
+                             (width, height))
+    from playaid_core_tpu.infer.ocr import PLAYER_DAMAGE_CROPS
+
+    font_path = _hud_font_path()
+
+    schedules = [schedule_moves(rng, num_frames) for _ in pair]
+    # per-segment sprite sizes (a segment = run of identical move)
+    seg_px = []
+    for k in range(2):
+        px, cur = [], None
+        for (move, _l, phase) in schedules[k]:
+            if phase == 0.0 or cur is None:
+                cur = int(rng.integers(sprite_px[0], sprite_px[1] + 1))
+            px.append(cur)
+        seg_px.append(px)
+
+    # smooth wandering positions, kept apart
+    t = np.arange(num_frames)
+    xs, ys = [], []
+    for k in range(2):
+        f1, f2 = rng.uniform(0.004, 0.010), rng.uniform(0.010, 0.02)
+        p1, p2 = rng.uniform(0, TAU := 2 * np.pi), rng.uniform(0, TAU)
+        cx = width * (0.30 + 0.40 * k) + 90 * np.sin(TAU * f1 * t + p1) \
+            + 40 * np.sin(TAU * f2 * t + p2)
+        cy = height * 0.52 + 55 * np.cos(TAU * f1 * 0.7 * t + p2) \
+            + 25 * np.sin(TAU * f2 * 1.3 * t + p1)
+        xs.append(cx)
+        ys.append(cy)
+
+    # damage trajectories: monotone random-walk with hit jumps
+    dmg = np.zeros((num_frames, 2), np.float32)
+    cur = [float(rng.uniform(0, 20)), float(rng.uniform(0, 20))]
+    for i in range(num_frames):
+        for k in range(2):
+            if rng.random() < 0.01:
+                cur[k] = min(cur[k] + float(rng.uniform(1.5, 18.0)), 999.9)
+            dmg[i, k] = round(cur[k], 1)
+
+    gt_boxes = np.zeros((num_frames, 2, 4), np.float32)
+    gt_labels = np.empty((num_frames, 2), object)
+    styles = {f: sk.style_variant(sk.FIGHTER_STYLES[f], variant_seed)
+              for f in pair}
+
+    for i in range(num_frames):
+        frame = stage.copy()
+        order = [0, 1]
+        for k in order:
+            fighter = pair[k]
+            move, label, phase = schedules[k][i]
+            facing = 1 if xs[k][i] < xs[1 - k][i] else -1
+            sprite = sk.render_sprite(fighter, move, phase, size=176,
+                                      facing=facing, style=styles[fighter])
+            sprite = sk.tight_crop(sprite, min_size=1)
+            hgt, wdt = sprite.shape[:2]
+            target = seg_px[k][i]
+            sc = target / max(hgt, wdt)
+            sprite = cv2.resize(sprite, (max(1, int(wdt * sc)),
+                                         max(1, int(hgt * sc))))
+            sh, sw = sprite.shape[:2]
+            cx = int(np.clip(xs[k][i], sw / 2 + 2, width - sw / 2 - 2))
+            cy = int(np.clip(ys[k][i], sh / 2 + 2, height - sh / 2 - 2))
+            x0, y0 = cx - sw // 2, cy - sh // 2
+            alpha = sprite[:, :, 3:4].astype(np.float32) / 255.0
+            roi = frame[y0:y0 + sh, x0:x0 + sw]
+            frame[y0:y0 + sh, x0:x0 + sw] = (
+                sprite[:, :, :3] * alpha + roi * (1 - alpha)
+            ).astype(np.uint8)
+            gt_boxes[i, k] = (cx / width, cy / height, sw / width, sh / height)
+            gt_labels[i, k] = label
+        if hud:
+            for pid in (0, 1):
+                _draw_hud_damage(frame, float(dmg[i, pid]),
+                                 PLAYER_DAMAGE_CROPS[pid], font_path)
+        writer.write(frame)
+    writer.release()
+    return {"boxes": gt_boxes, "labels": gt_labels, "damage": dmg}
+
+
+def _hud_font_path():
+    import matplotlib
+
+    return os.path.join(os.path.dirname(matplotlib.__file__), "mpl-data",
+                        "fonts", "ttf", HUD_FONT)
+
+
+# ---------------------------------------------------------------------------
+# scoring
+# ---------------------------------------------------------------------------
+
+def score_run(runner, pair, gt, pair_chars_sorted_by_x0=None):
+    """Detection localization + per-frame action agreement + damage
+    accuracy vs the generator's ground truth (same contract as the
+    round-2 toy scorer, plus damage)."""
+    from playaid_core_tpu.infer.detection import read_fighter_yolo_crop
+
+    det_hits, act_hits, total = 0, 0, 0
+    per_move = {}
+    dmg_hits, dmg_total = 0, 0
+    for i in range(1, runner.max_frames):
+        for k, fighter in enumerate(pair):
+            gt_box = gt["boxes"][i - 1, k]
+            label = gt["labels"][i - 1, k]
+            total += 1
+            crop = read_fighter_yolo_crop(runner.get_label_path(i), fighter)
+            if crop is not None and abs(crop.center_x - gt_box[0]) < 0.06 \
+                    and abs(crop.center_y - gt_box[1]) < 0.08:
+                det_hits += 1
+            pred = runner.ai_output_data[fighter][i - 1].action
+            stats = per_move.setdefault(label, [0, 0])
+            stats[1] += 1
+            if pred == label:
+                act_hits += 1
+                stats[0] += 1
+            d = runner.ai_output_data[fighter][i - 1].get("damage", None)
+            if d is not None:
+                dmg_total += 1
+                if abs(float(d) - float(gt["damage"][i - 1, k])) < 0.051:
+                    dmg_hits += 1
+    return {
+        "det_rate": det_hits / max(total, 1),
+        "act_rate": act_hits / max(total, 1),
+        "per_move": {m: round(h / t, 4) for m, (h, t) in sorted(per_move.items())},
+        "damage_acc": dmg_hits / max(dmg_total, 1) if dmg_total else None,
+        "frames": runner.max_frames - 1,
+    }
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+def _heartbeat():
+    """Tunneled-TPU keep-alive (session goes stale after ~10 min of
+    device idleness; the next op then hangs forever)."""
+    import threading
+
+    def beat():
+        import jax.numpy as jnp
+
+        while True:
+            try:
+                jnp.zeros((1,)).block_until_ready()
+            except Exception:
+                pass
+            time.sleep(60)
+
+    threading.Thread(target=beat, daemon=True).start()
+
+
+def analyze_match(video_path, pair, det_trainer, pipe, split_vars, workdir,
+                  gt, damage=True, crop_padding=16):
+    """Full pixels path on one eval video: detector -> crops cache ->
+    cleanup -> batched action recognition -> damage OCR -> score."""
+    import jax  # noqa: F401  (keeps device context warm)
+
+    from playaid_core_tpu import constants
+    from playaid_core_tpu.infer.detection import JaxCharacterDetector
+    from playaid_core_tpu.infer.runner import AIRunner
+
+    classes = {constants.CHAR_LIST.index(f) for f in pair}
+    runner = AIRunner(
+        input_video_path=video_path,
+        detector=JaxCharacterDetector(
+            det_trainer, score_threshold=0.05, crop_size=128,
+            crop_padding=crop_padding, batch_size=24, classes=classes,
+        ),
+        pipeline=pipe,
+        variables=split_vars,
+        crop_padding=crop_padding,
+        num_frames_per_sample=pipe.sequence_length,
+        frame_delta=pipe.frame_delta,
+    )
+    runner.actions = ACTIONS
+    runner.run_detection_setup()
+    runner.run_action_recognition()
+    if damage:
+        runner.run_damage_detection()
+    runner.write_output()
+    return score_run(runner, pair, gt)
+
+
+def run_capstone(workdir, det_steps=8000, det_composites=1200, act_epochs=40,
+                 act_steps=64, eval_frames=1800, eval_pairs=3,
+                 small_eval=True, act_batch=16, verbose=True):
+    import jax
+    import jax.numpy as jnp
+
+    from playaid_core_tpu import constants
+    from playaid_core_tpu.datagen.gen_synth_char_detection import (
+        generate_stage_char_compositions,
+    )
+    from playaid_core_tpu.infer.pipeline import BatchedActionPipeline
+    from playaid_core_tpu.train.dataset import UltActionRecogDataset
+    from playaid_core_tpu.train.detector_train import DetectionDataset, DetectorTrainer
+    from playaid_core_tpu.train.train import Trainer, TrainerConfig
+
+    _heartbeat()
+    t0 = time.time()
+    fighters = list(sk.FIGHTER_STYLES)
+
+    # --- assets: skeletal sprite sets + stages --------------------------
+    clean = os.path.join(workdir, "clean")
+    stages = os.path.join(workdir, "stages")
+    os.makedirs(stages, exist_ok=True)
+    if not os.path.isdir(clean):
+        print("generating skeletal sprite sets "
+              f"({len(fighters)} fighters x {len(sk.MOVES)}+{len(sk.EXTRA_MOVES)} moves "
+              f"x {len(TRAIN_VARIANTS)} variants x 2 facings x {ANIM_FRAMES} frames)...")
+        n = sk.generate_sprite_set(
+            clean, fighters=fighters, moves=sk.MOVES + sk.EXTRA_MOVES,
+            frames_per_move=ANIM_FRAMES, variant_seeds=TRAIN_VARIANTS,
+        )
+        print(f"  {n} sprites")
+    for i in range(4):
+        make_stage(os.path.join(stages, f"train_{i}.jpg"), seed=i,
+                   kind="noise" if i % 2 == 0 else "platforms")
+
+    # --- detector -------------------------------------------------------
+    print("generating detection composites...")
+    generate_stage_char_compositions(
+        "train", det_composites, seed=0,
+        output_root=os.path.join(workdir, "composites"),
+        stages_dir=stages, clean_char_dir=clean,
+        char_list=list(constants.CHAR_LIST), augment=True,
+    )
+    det_ds = DetectionDataset(
+        os.path.join(workdir, "composites", "train"), input_hw=(256, 448),
+        num_classes=len(constants.CHAR_LIST), seed=0,
+    )
+    print("training detector...")
+    det_trainer = DetectorTrainer(det_ds, num_classes=len(constants.CHAR_LIST),
+                                  input_hw=(256, 448), dtype=jnp.bfloat16)
+    det_trainer.fit(det_steps, batch_size=8, log_every=200, verbose=verbose)
+
+    # --- flagship action model (ResFormer T=7 delta=3 128px) ------------
+    action_ds = UltActionRecogDataset(
+        split="synth", num_samples=act_steps * act_batch, img_dimension=128,
+        anim_subset=ACTIONS, num_frames_per_sample=7, frame_delta=[3],
+        char_subset=fighters, crop_size=128, seed=0,
+        gt_root_train=os.path.join(workdir, "none"),
+        gt_root_val=os.path.join(workdir, "none"),
+        gt_root_test=os.path.join(workdir, "none"),
+        stages_dir=stages, clean_char_dir=clean,
+        # detector crops leave the sprite at ~75-95% of the window;
+        # center jitter matches detector center error
+        synth_sprite_fill=(0.70, 0.98),
+        synth_center_jitter=10,
+    )
+    config = TrainerConfig(
+        family="resformer", num_actions=len(ACTIONS), sequence_length=7,
+        batch_size=act_batch, learning_rate=3e-4,
+        num_samples=act_steps * act_batch, crop_size=128,
+        curriculum_threshold=0.90, dtype=jnp.bfloat16,
+    )
+    print("training flagship ResFormer action model...")
+    act_trainer = Trainer(config, action_ds)
+    act_trainer.init_state()
+    act_trainer.fit(num_epochs=act_epochs, steps_per_epoch=act_steps)
+    accs = [round(r["train_acc"], 3) for r in act_trainer.metrics_log]
+    print("action train acc:", accs[-10:])
+
+    pipe = BatchedActionPipeline(
+        family="resformer", num_actions=len(ACTIONS), sequence_length=7,
+        frame_delta=3, crop_size=128,
+    )
+    split_vars = pipe.from_monolithic({
+        "params": jax.device_get(act_trainer.state.params),
+        "batch_stats": jax.device_get(act_trainer.state.batch_stats),
+    })
+
+    # persist trained states for post-hoc diagnosis / reuse
+    import pickle
+
+    with open(os.path.join(workdir, "trained_states.pkl"), "wb") as f:
+        pickle.dump({
+            "action": jax.device_get({
+                "params": act_trainer.state.params,
+                "batch_stats": act_trainer.state.batch_stats,
+            }),
+            "detector": jax.device_get({
+                "params": det_trainer.state.params,
+                "batch_stats": det_trainer.state.batch_stats,
+            }),
+        }, f)
+
+    # --- held-out eval matches -----------------------------------------
+    constants.AI_CACHE = os.path.join(workdir, "ai_cache")
+    eval_stage = make_stage(os.path.join(workdir, "eval_stage.jpg"),
+                            seed=991, kind="bands")
+    match_scores = []
+    for m, pair in enumerate(EVAL_PAIR_SETS[:eval_pairs]):
+        video_path = os.path.join(workdir, f"eval_match_{m}.mp4")
+        print(f"eval match {m}: {pair[0]} vs {pair[1]}...")
+        gt = make_eval_video(video_path, pair, num_frames=eval_frames,
+                             seed=2000 + m, stage_path=eval_stage)
+        s = analyze_match(video_path, pair, det_trainer, pipe, split_vars,
+                          workdir, gt)
+        s["pair"] = list(pair)
+        print(f"  det {s['det_rate']:.2%}  act {s['act_rate']:.2%}  "
+              f"damage {s['damage_acc']:.2%}")
+        match_scores.append(s)
+
+    # --- far-zoom small-sprite eval (hard case for small boxes) ---------
+    small_score = None
+    if small_eval:
+        pair = EVAL_PAIR_SETS[0]
+        video_path = os.path.join(workdir, "eval_small.mp4")
+        print("far-zoom eval (40-64px sprites)...")
+        gt = make_eval_video(video_path, pair, num_frames=min(eval_frames, 900),
+                             sprite_px=(40, 64), seed=3000,
+                             stage_path=eval_stage)
+        small_score = analyze_match(video_path, pair, det_trainer, pipe,
+                                    split_vars, workdir, gt, damage=False)
+        small_score["pair"] = list(pair)
+        print(f"  det {small_score['det_rate']:.2%}  "
+              f"act {small_score['act_rate']:.2%}")
+
+    # --- aggregate + record --------------------------------------------
+    agg = lambda key: float(np.mean([s[key] for s in match_scores]))  # noqa: E731
+    per_move_all = {}
+    for s in match_scores:
+        for mv, r in s["per_move"].items():
+            per_move_all.setdefault(mv, []).append(r)
+    record = {
+        "capstone": "scaled-v3",
+        "action_classes": len(ACTIONS),
+        "fighters": len(fighters),
+        "moves": len(sk.MOVES),
+        "family": "resformer",
+        "sequence_length": 7,
+        "frame_delta": 3,
+        "crop_size": 128,
+        "det_steps": det_steps,
+        "det_composites": det_composites,
+        "act_epochs": act_epochs,
+        "act_steps_per_epoch": act_steps,
+        "eval_frames": eval_frames,
+        "eval_pairs": [s["pair"] for s in match_scores],
+        "heldout": {"variant_seed": EVAL_VARIANT, "stage_kind": "bands",
+                    "hud_font": HUD_FONT},
+        "det_rate": round(agg("det_rate"), 4),
+        "act_rate": round(agg("act_rate"), 4),
+        "damage_acc": round(agg("damage_acc"), 4),
+        "per_move_agreement": {m: round(float(np.mean(v)), 4)
+                               for m, v in sorted(per_move_all.items())},
+        "per_match": [{k: v for k, v in s.items() if k != "per_move"}
+                      for s in match_scores],
+        "smallbox": (None if small_score is None else
+                     {k: (round(v, 4) if isinstance(v, float) else v)
+                      for k, v in small_score.items() if k != "per_move"}),
+        "seconds": round(time.time() - t0, 1),
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "..", "docs", "pixels_stack_runs.jsonl")
+    with open(os.path.abspath(path), "a") as f:
+        f.write(json.dumps(record) + "\n")
+    print(json.dumps(record, indent=2))
+    print(f"workdir: {workdir}")
+    return record
+
+
+def main():
+    import tempfile
+
+    workdir = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(
+        prefix="pixels_capstone_")
+    os.makedirs(workdir, exist_ok=True)
+    run_capstone(
+        workdir,
+        det_steps=int(os.environ.get("DET_STEPS", "8000")),
+        det_composites=int(os.environ.get("DET_COMPOSITES", "1200")),
+        act_epochs=int(os.environ.get("ACT_EPOCHS", "40")),
+        act_steps=int(os.environ.get("ACT_STEPS", "64")),
+        eval_frames=int(os.environ.get("EVAL_FRAMES", "1800")),
+        eval_pairs=int(os.environ.get("EVAL_PAIRS", "3")),
+        small_eval=os.environ.get("SMALL_EVAL", "1") == "1",
+    )
+
+
+if __name__ == "__main__":
+    main()
