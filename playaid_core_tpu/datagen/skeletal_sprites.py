@@ -414,7 +414,29 @@ def pose_turn(p):
                 legs=((-0.35 * r + 0.15, 0.25, 0.1), (0.3 * r - 0.15, 0.25, 0.1)))
 
 
+def pose_ledgehang(p):
+    b = 0.04 * _swing(p)
+    return Pose(y_off=14, lean=0.1, crouch=0.2,
+                arms=((2.9 + b, 0.1, 0.9), (2.6 - b, 0.2, 0.8)),
+                legs=((0.25, 0.7, 0.0), (-0.2, 0.8, 0.0)))
+
+
+def pose_normalgetup(p):
+    # rising from prone: body rotates from horizontal to upright
+    r = _ramp(p, 0.7)
+    return Pose(body_rot=(1.0 - r) * (math.pi / 2 - 0.15), crouch=0.45 * (1 - r) + 0.15,
+                lean=0.25 * (1 - r),
+                arms=((0.9 - 0.5 * r, 0.9, 0.2), (-0.7, 0.8, 0.1)),
+                legs=((0.4, 0.8 * (1 - r) + 0.2, 0.1), (-0.35, 0.9 * (1 - r) + 0.2, 0.1)))
+
+
+# Extra moves OUTSIDE the trained subset: sprite sources for the
+# "Unknown" class (the reference's untrained-move bucket,
+# ai_runner.py:164-168 actions list vs anim_ontology trained subset).
+EXTRA_MOVES = ["LedgeHang", "NormalGetUp"]
+
 POSE_FUNCS = {
+    "LedgeHang": pose_ledgehang, "NormalGetUp": pose_normalgetup,
     "Wait": pose_wait, "Walk": pose_walk, "Run": pose_run, "Dash": pose_dash,
     "Squat": pose_squat, "Jump": pose_jump, "Fall": pose_fall,
     "Jab": pose_jab, "DashAttack": pose_dash_attack,
@@ -426,7 +448,7 @@ POSE_FUNCS = {
     "SpotDodge": pose_spotdodge, "Roll": pose_roll, "Turn": pose_turn,
 }
 
-assert set(POSE_FUNCS) == set(MOVES)
+assert set(POSE_FUNCS) == set(MOVES) | set(EXTRA_MOVES)
 
 EFFECT_COLOR = (235, 235, 235)  # shared across moves: geometry, not color,
                                 # carries the class signal

@@ -52,6 +52,7 @@ def train_fonts():
         os.path.join(d, "DejaVuSansDisplay.ttf"),
         os.path.join(d, "DejaVuSansMono.ttf"),
         os.path.join(d, "DejaVuSansMono-Bold.ttf"),
+        os.path.join(d, "DejaVuSerif.ttf"),
         os.path.join(d, "STIXGeneral.ttf"),
         os.path.join(d, "STIXGeneralBol.ttf"),
         os.path.join(d, "STIXGeneralItalic.ttf"),
@@ -70,7 +71,9 @@ def heldout_fonts():
         os.path.join(d, "DejaVuSans-BoldOblique.ttf"),
         os.path.join(d, "DejaVuSerif-Bold.ttf"),
         os.path.join(d, "DejaVuSerif-BoldItalic.ttf"),
-        os.path.join(d, "DejaVuSerifDisplay.ttf"),
+        # NOT DejaVuSerifDisplay: that face ships no digit glyphs at all
+        # (getbbox("5") is zero-height), so "testing" on it is vacuous —
+        # the round-2 held-out pool included it by mistake.
     ]
 
 
@@ -188,6 +191,25 @@ def synth_batch(rng, fonts, batch=128, threshold=128):
             k = np.ones((2, 2), np.uint8)
             crop = (_cv2.dilate(crop, k) if rng.random() < 0.5
                     else _cv2.erode(crop, k))
+        if rng.random() < 0.2:
+            # morphological close: glyphs with nearly-shut bowls/gaps
+            # (heavy Didone digits — a "3" whose terminals almost touch)
+            # keep their label, so shape identity can't hinge on a
+            # 1-2 px opening
+            k = np.ones((int(rng.integers(2, 4)),) * 2, np.uint8)
+            crop = _cv2.morphologyEx(crop, _cv2.MORPH_CLOSE, k)
+        if rng.random() < 0.35:
+            # elastic warp: low-frequency displacement field — foundries
+            # differ in stroke geometry (ball terminals, bowl shapes) in
+            # ways affine augments can't span
+            h_, w_ = crop.shape[:2]
+            gx = _cv2.resize(rng.uniform(-1, 1, (4, 4)).astype(np.float32),
+                             (w_, h_)) * float(rng.uniform(2, 6))
+            gy = _cv2.resize(rng.uniform(-1, 1, (4, 4)).astype(np.float32),
+                             (w_, h_)) * float(rng.uniform(2, 6))
+            mx, my = np.meshgrid(np.arange(w_, dtype=np.float32),
+                                 np.arange(h_, dtype=np.float32))
+            crop = _cv2.remap(crop, mx + gx, my + gy, _cv2.INTER_LINEAR)
         comps, _ = segment_digit_components(crop, threshold=threshold)
         if len(comps) != 1:
             continue  # broken glyph under this style; skip
@@ -301,6 +323,14 @@ class ConvDigitOCR:
 
 
 def main():
+    # Host-side job: force CPU so training never rides (or wedges) the
+    # tunneled TPU.  NOTE: the TPU image pins jax at the axon platform
+    # through sitecustomize — the JAX_PLATFORMS env var alone does NOT
+    # override it; only jax.config does.  OCR_TPU=1 opts back in.
+    if os.environ.get("OCR_TPU") != "1":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     params, history = train(steps=int(os.environ.get("OCR_STEPS", "400")))
     save_params(params)
     print(f"saved {WEIGHTS_PATH}")

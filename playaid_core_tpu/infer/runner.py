@@ -178,6 +178,20 @@ class AIRunner:
             for i in range(last_frame_num, last_frame_num + num_remaining):
                 cv2.imwrite(self.get_crop_path(fighter, i), last_frame)
 
+        # Head fill (mirror of tail fill): a fighter first detected at
+        # frame k > 1 has no crops for frames 1..k-1, and action
+        # recognition loads every frame's crop unconditionally — the
+        # reference crashed here on late first detections.  Duplicate the
+        # first crop backwards.
+        for fighter in self.fighters:
+            first_path = self.get_crop_paths(fighter)[0]
+            first_frame_num = extract_number_from_filename(first_path)
+            if first_frame_num <= 1:
+                continue
+            first_frame = cv2.imread(first_path)
+            for i in range(1, first_frame_num):
+                cv2.imwrite(self.get_crop_path(fighter, i), first_frame)
+
     def get_label_path(self, frame_num):
         return os.path.join(self.labels_dir, f"{self.video_name}_{frame_num}.txt")
 

@@ -38,8 +38,9 @@ class FakeDetector:
         for i in range(1, self.num_frames + 1):
             lines = []
             for class_id, fighter in ((2, "Pikachu"), (3, "Joker")):
-                # Pikachu misses frames 8-10 (gap); Joker misses the tail.
-                if fighter == "Pikachu" and 8 <= i <= 10:
+                # Pikachu misses frames 8-10 (gap) AND the head (1-2,
+                # late first detection); Joker misses the tail.
+                if fighter == "Pikachu" and (8 <= i <= 10 or i <= 2):
                     continue
                 if fighter == "Joker" and i > self.num_frames - 3:
                     continue
@@ -102,6 +103,11 @@ def test_ai_runner_full_flow(runner_env, monkeypatch):
 
     # Tail fill: Joker crops extend to the max frame.
     assert os.path.exists(runner.get_crop_path("Joker", runner.max_frames - 1))
+
+    # Head fill: Pikachu's first detection is frame 3; frames 1-2 got
+    # back-filled crops (action recognition loads every frame's crop).
+    for i in (1, 2):
+        assert os.path.exists(runner.get_crop_path("Pikachu", i)), i
 
     # Batched recognition + output cache.
     runner.run_action_recognition()

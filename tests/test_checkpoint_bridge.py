@@ -15,6 +15,9 @@ from playaid_core_tpu.models.rnn_action_detector import RNNActionDetector
 KEY = jax.random.PRNGKey(0)
 
 
+pytestmark = pytest.mark.slow  # model-compile-heavy; -m 'not slow' skips
+
+
 def _window_logits_from_pipeline(pipe, variables, frames):
     """Apply embed to each frame then the head to the window — the
     pipeline's factorized computation for one window [1, T, H, W, 3]."""

@@ -1,0 +1,96 @@
+"""Cross-backend label agreement with a freshly mini-trained model.
+
+The portable successor to the round-2 machine-pinned
+tools/validate_decode_backends.py run: trains a small CNN in-test (on
+the quick color-coded toy task — backend equivalence only needs a
+CONFIDENT model, not the full skeletal capstone), then asserts every
+decode configuration (native BGR, YUV420 transfer, fractional lowres 1
+and 2, stride 2) produces labels matching the cv2 baseline — INCLUDING
+a far-zoom clip with ~48 px sprites, the small-box case quarter-res
+decode could plausibly break (round-2 verdict item 5).
+
+The full-scale skeletal validation (trained capstone weights, held-out
+eval distribution) runs via tools/validate_decode_backends.py against a
+tools/pixels_capstone.py workdir; results are recorded in
+docs/PERFORMANCE.md.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from playaid_core_tpu.video import native_decoder
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not native_decoder.available(),
+                       reason="native video decoder unavailable"),
+]
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    import jax
+
+    from playaid_core_tpu.infer.pipeline import BatchedActionPipeline
+    from playaid_core_tpu.train.dataset import UltActionRecogDataset
+    from playaid_core_tpu.train.train import Trainer, TrainerConfig
+    from tools.e2e_pixels_demo import ACTIONS, FIGHTERS, make_assets
+
+    root = tmp_path_factory.mktemp("backend_agreement")
+    stages, clean = make_assets(str(root / "assets"))
+
+    # Budget tuned for a 1-core CPU host: ~3 min of training reaches
+    # ~0.85 train acc on the color-coded toy — confident enough that
+    # labels aren't sitting on decision boundaries, which is all a
+    # backend-equivalence check needs.
+    ds = UltActionRecogDataset(
+        split="synth", num_samples=192, img_dimension=64, anim_subset=ACTIONS,
+        num_frames_per_sample=3, frame_delta=[1],
+        char_subset=list(FIGHTERS), crop_size=64, seed=0,
+        gt_root_train=str(root / "none"), gt_root_val=str(root / "none"),
+        gt_root_test=str(root / "none"),
+        stages_dir=stages, clean_char_dir=clean,
+        synth_sprite_fill=(0.72, 1.0), synth_center_jitter=8,
+    )
+    config = TrainerConfig(family="cnn", num_actions=len(ACTIONS),
+                           sequence_length=3, batch_size=8,
+                           learning_rate=2e-3, num_samples=192, crop_size=64,
+                           curriculum_threshold=1.1)
+    trainer = Trainer(config, ds)
+    trainer.init_state()
+    trainer.fit(num_epochs=2, steps_per_epoch=24)
+    assert trainer.metrics_log[-1]["train_acc"] > 0.75, trainer.metrics_log
+
+    pipe = BatchedActionPipeline(family="cnn", num_actions=len(ACTIONS),
+                                 sequence_length=3, frame_delta=1, crop_size=64)
+    variables = pipe.from_monolithic({
+        "params": jax.device_get(trainer.state.params),
+        "batch_stats": jax.device_get(trainer.state.batch_stats),
+    })
+    return str(root), stages, pipe, variables
+
+
+@pytest.mark.parametrize("label,sprite_size,min_match", [
+    ("normal", 110, 0.97),
+    ("farzoom", 48, 0.95),
+])
+def test_backends_agree(trained, label, sprite_size, min_match):
+    root, stages, pipe, variables = trained
+    from tools.e2e_pixels_demo import ACTIONS, make_eval_video
+    from tools.validate_decode_backends import validate
+
+    video = os.path.join(root, f"clip_{label}.mp4")
+    gt_boxes, gt_labels = make_eval_video(video, stages, num_frames=96,
+                                          sprite_size=sprite_size)
+    out = validate(pipe, variables, ACTIONS, video, gt_boxes, gt_labels,
+                   padding=8, chunk=48, log=lambda *_: None)
+    # the trained model must actually be reading the clip (guards against
+    # a vacuous all-Unknown comparison)
+    assert out["cv2"]["gt_agreement"] > 0.7, out
+    for name, r in out.items():
+        if r["vs_cv2"] is not None:
+            assert r["vs_cv2"] >= min_match, (label, name, r)

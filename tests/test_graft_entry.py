@@ -2,6 +2,10 @@
 
 import jax
 import numpy as np
+import pytest
+
+
+pytestmark = pytest.mark.slow  # model-compile-heavy; -m 'not slow' skips
 
 
 def test_entry_is_traceable():

@@ -20,6 +20,9 @@ from playaid_core_tpu.models.rnn_action_detector import RNNActionDetector
 KEY = jax.random.PRNGKey(0)
 
 
+pytestmark = pytest.mark.slow  # model-compile-heavy; -m 'not slow' skips
+
+
 def test_resnet18_features_and_head():
     model = make_resnet("resnet18", num_classes=0)
     x = jnp.zeros((2, 32, 32, 3))

@@ -14,6 +14,9 @@ from playaid_core_tpu.infer.vod_pipeline import VodAnalyzer
 from playaid_core_tpu.parallel.mesh import make_mesh
 
 
+pytestmark = pytest.mark.slow  # model-compile-heavy; -m 'not slow' skips
+
+
 @pytest.fixture(scope="module")
 def video(tmp_path_factory):
     d = tmp_path_factory.mktemp("sharded")

@@ -25,6 +25,9 @@ from playaid_core_tpu.models.torch_convert import (  # noqa: E402
 )
 
 
+pytestmark = pytest.mark.slow  # model-compile-heavy; -m 'not slow' skips
+
+
 class TorchBasicBlock(tnn.Module):
     expansion = 1
 

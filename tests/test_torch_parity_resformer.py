@@ -20,6 +20,9 @@ from playaid_core_tpu.models.resnet_transformer import ResnetTransformerDetector
 from playaid_core_tpu.models.torch_convert import convert_resformer_detector  # noqa: E402
 
 
+pytestmark = pytest.mark.slow  # model-compile-heavy; -m 'not slow' skips
+
+
 class TorchBottleneck(tnn.Module):
     expansion = 4
 

@@ -22,6 +22,9 @@ from playaid_core_tpu.models.torch_convert import (  # noqa: E402
 from tests.test_torch_parity import TorchResNet18, _randomize_bn_stats  # noqa: E402
 
 
+pytestmark = pytest.mark.slow  # model-compile-heavy; -m 'not slow' skips
+
+
 def test_lstm_conversion_matches_torch():
     torch.manual_seed(0)
     torch_lstm = tnn.LSTM(input_size=6, hidden_size=5, num_layers=2, batch_first=True)

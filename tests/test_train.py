@@ -13,6 +13,9 @@ from playaid_core_tpu.train.train import Trainer, TrainerConfig
 ACTIONS = ["ForwardSmash", "Jab", "Wait", "Unknown"]
 
 
+pytestmark = pytest.mark.slow  # model-compile-heavy; -m 'not slow' skips
+
+
 @pytest.fixture(scope="module")
 def tiny_gt_tree(tmp_path_factory):
     root = tmp_path_factory.mktemp("gt_tiny")

@@ -96,21 +96,25 @@ def make_stage(path, seed, kind):
 # eval match generator (held-out distribution)
 # ---------------------------------------------------------------------------
 
-def schedule_moves(rng, num_frames, seg_lo=48, seg_hi=96, unknown_frac=0.05):
-    """Per-frame (move_for_render, label, phase) schedule."""
+def schedule_moves(rng, num_frames, seg_lo=48, seg_hi=96, unknown_frac=0.05,
+                   moves=None):
+    """Per-frame (move_for_render, label, phase, segment_id) schedule."""
+    moves = list(moves) if moves is not None else sk.MOVES
     out = []
+    seg_id = 0
     while len(out) < num_frames:
         if rng.random() < unknown_frac:
             move = rng.choice(sk.EXTRA_MOVES)
             label = "Unknown"
         else:
-            move = rng.choice(sk.MOVES)
+            move = rng.choice(moves)
             label = move
         # segment lengths snap to whole anim cycles so attack envelopes
         # restart cleanly
         seg = int(rng.integers(seg_lo // 48, seg_hi // 48 + 1)) * 48
         for t in range(seg):
-            out.append((move, label, (t * PHASE_STEP) % 1.0))
+            out.append((move, label, (t * PHASE_STEP) % 1.0, seg_id))
+        seg_id += 1
     return out[:num_frames]
 
 
@@ -165,7 +169,8 @@ def _draw_hud_damage(frame, damage, region, font_path, cache={}):
 
 def make_eval_video(path, pair, num_frames=1800, sprite_px=(88, 150),
                     seed=1000, variant_seed=EVAL_VARIANT, stage_path=None,
-                    width=1280, height=720, hud=True):
+                    width=1280, height=720, hud=True, moves=None,
+                    unknown_frac=0.05):
     """Composite a held-out 2-fighter match; returns per-frame GT.
 
     Unlike the round-2 toy (procedural shapes, fixed sprite size, train
@@ -181,14 +186,16 @@ def make_eval_video(path, pair, num_frames=1800, sprite_px=(88, 150),
 
     font_path = _hud_font_path()
 
-    schedules = [schedule_moves(rng, num_frames) for _ in pair]
+    schedules = [schedule_moves(rng, num_frames, moves=moves,
+                                unknown_frac=unknown_frac) for _ in pair]
     # per-segment sprite sizes (a segment = run of identical move)
     seg_px = []
     for k in range(2):
-        px, cur = [], None
-        for (move, _l, phase) in schedules[k]:
-            if phase == 0.0 or cur is None:
+        px, cur, cur_seg = [], None, None
+        for (_m, _l, _p, seg_id) in schedules[k]:
+            if seg_id != cur_seg:
                 cur = int(rng.integers(sprite_px[0], sprite_px[1] + 1))
+                cur_seg = seg_id
             px.append(cur)
         seg_px.append(px)
 
@@ -224,7 +231,7 @@ def make_eval_video(path, pair, num_frames=1800, sprite_px=(88, 150),
         order = [0, 1]
         for k in order:
             fighter = pair[k]
-            move, label, phase = schedules[k][i]
+            move, label, phase, _seg = schedules[k][i]
             facing = 1 if xs[k][i] < xs[1 - k][i] else -1
             sprite = sk.render_sprite(fighter, move, phase, size=176,
                                       facing=facing, style=styles[fighter])
@@ -307,6 +314,32 @@ def score_run(runner, pair, gt, pair_chars_sorted_by_x0=None):
 # driver
 # ---------------------------------------------------------------------------
 
+def _warm_tunnel(attempts=3):
+    """Clear tunnel staleness before real work: after ~10 min of device
+    idleness the FIRST client to touch the TPU wedges forever (all
+    threads in futex), but killing it and dialing again from a fresh
+    process succeeds immediately.  So: probe via a short-timeout
+    subprocess; a timed-out probe is itself the sacrifice that unwedges
+    the tunnel for the next attempt."""
+    import subprocess
+
+    probe = ("import jax, jax.numpy as jnp;"
+             "print(float(jnp.zeros((2,)).sum()))")
+    for i in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", probe], timeout=120,
+                               capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            print(f"tunnel probe {i + 1} timed out (stale session cleared); "
+                  "retrying after cleanup window...", flush=True)
+        # The terminal needs a quiet window after a dead client before it
+        # accepts the next one; immediate redials wedge again.
+        time.sleep(90)
+    raise RuntimeError("TPU tunnel did not recover after probes")
+
+
 def _heartbeat():
     """Tunneled-TPU keep-alive (session goes stale after ~10 min of
     device idleness; the next op then hangs forever)."""
@@ -372,6 +405,7 @@ def run_capstone(workdir, det_steps=8000, det_composites=1200, act_epochs=40,
     from playaid_core_tpu.train.detector_train import DetectionDataset, DetectorTrainer
     from playaid_core_tpu.train.train import Trainer, TrainerConfig
 
+    _warm_tunnel()
     _heartbeat()
     t0 = time.time()
     fighters = list(sk.FIGHTER_STYLES)
@@ -459,6 +493,11 @@ def run_capstone(workdir, det_steps=8000, det_composites=1200, act_epochs=40,
                 "params": det_trainer.state.params,
                 "batch_stats": det_trainer.state.batch_stats,
             }),
+            "meta": {
+                "family": "resformer", "num_actions": len(ACTIONS),
+                "sequence_length": 7, "frame_delta": 3, "crop_size": 128,
+                "actions": ACTIONS, "capstone": "scaled-v3",
+            },
         }, f)
 
     # --- held-out eval matches -----------------------------------------

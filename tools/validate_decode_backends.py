@@ -1,61 +1,117 @@
 #!/usr/bin/env python
 """Trained-weights label-agreement validation across decode backends.
 
-Runs the same VOD through every decode configuration (cv2, native BGR,
-native YUV420, fractional lowres 1/2, frame-stride 2) with a TRAINED
-action model and ground-truth boxes, asserting the scale-at-decode and
-stride modes change nothing: measured 100% ground-truth agreement and
-100% label match vs the cv2 baseline on the pixels-capstone eval
-(docs/PERFORMANCE.md).  Requires a tools/train_pixels_stack.py workdir
-(default /tmp/pixels_run5) with trained_states.pkl.
+Runs the same eval match through every decode configuration (cv2,
+native BGR, native YUV420, fractional lowres 1/2, frame-stride 2) with
+trained weights and ground-truth boxes, reporting GT agreement and
+label match vs the cv2 baseline — the evidence that scale-at-decode and
+stride modes don't change labels.
+
+Portable (round-2 verdict fixed the /root/repo + /tmp hardcodes): takes
+any tools/pixels_capstone.py workdir containing ``trained_states.pkl``
+(model hyperparameters ride in the pkl's ``meta``), regenerates a
+held-out eval clip beside it, and validates BOTH a normal-size and a
+far-zoom small-sprite (40-64 px) clip — quarter-res decode of a ~40 px
+character is exactly the case the lowres modes could plausibly break.
+
+    python tools/validate_decode_backends.py <capstone_workdir> [frames]
+
+The same check runs as a slow-marked test on a freshly mini-trained
+model in tests/test_decode_backend_agreement.py.
 """
 
-import sys, os, pickle, numpy as np
-sys.path.insert(0, "/root/repo"); sys.path.insert(0, "/root/repo/tools")
-from e2e_pixels_demo import FIGHTERS, MOVES, make_eval_video
-ACTIONS = MOVES + ["Unknown"]
-from playaid_core_tpu.infer.pipeline import BatchedActionPipeline
-from playaid_core_tpu.infer.vod_pipeline import VodAnalyzer
+import os
+import pickle
+import sys
 
-workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/pixels_run5"
-with open(os.path.join(workdir, "trained_states.pkl"), "rb") as f:
-    states = pickle.load(f)
-pipe = BatchedActionPipeline(family="cnn", num_actions=len(ACTIONS),
-                             sequence_length=3, frame_delta=1, crop_size=64)
-variables = pipe.from_monolithic(states["action"])
+import numpy as np
 
-video = os.path.join(workdir, "eval_match.mp4")
-gt_boxes, gt_labels = make_eval_video("/tmp/regen9.mp4",
-                                      os.path.join(workdir, "assets/stages"),
-                                      num_frames=480)
-# yolo boxes per frame from gt (perfect boxes; isolates the decode path)
-def agreement(labels):
-    hits = total = 0
-    for i in range(480):
-        for k in range(2):
-            total += 1
-            hits += int(ACTIONS[int(labels[i, k])] == gt_labels[i, k])
-    return hits / total
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-results = {}
-configs = [
-    ("cv2", dict(decode_backend="cv2")),
-    ("native", dict(decode_backend="native", transfer_format="bgr")),
-    ("native+yuv", dict(decode_backend="native")),
-    ("native+yuv+lowres1", dict(decode_backend="native", lowres=1)),
-    ("native+yuv+lowres2", dict(decode_backend="native", lowres=2)),
-    ("native+yuv+lowres1+stride2", dict(decode_backend="native", lowres=1, stride=2)),
-]
-base_labels = None
-for name, kw in configs:
-    an = VodAnalyzer(pipe, variables=variables, chunk=48, padding=8, **kw)
-    res = an.analyze(video, gt_boxes)
-    acc = agreement(res["labels"])
-    same = None
-    if base_labels is None:
-        base_labels = res["labels"]
-    else:
-        same = float((res["labels"] == base_labels).mean())
-    print(f"{name}: gt-agreement {acc:.2%}" +
-          (f", label-match vs cv2 {same:.2%}" if same is not None else ""),
-          flush=True)
+
+def load_pipeline(workdir):
+    from playaid_core_tpu.infer.pipeline import BatchedActionPipeline
+
+    with open(os.path.join(workdir, "trained_states.pkl"), "rb") as f:
+        states = pickle.load(f)
+    meta = states.get("meta")
+    if meta is None:
+        # round-2 toy workdir layout (cnn/64px, tools/e2e_pixels_demo.py)
+        from tools.e2e_pixels_demo import MOVES
+
+        meta = {"family": "cnn", "num_actions": len(MOVES) + 1,
+                "sequence_length": 3, "frame_delta": 1, "crop_size": 64,
+                "actions": MOVES + ["Unknown"]}
+    pipe = BatchedActionPipeline(
+        family=meta["family"], num_actions=meta["num_actions"],
+        sequence_length=meta["sequence_length"],
+        frame_delta=meta["frame_delta"], crop_size=meta["crop_size"],
+    )
+    return pipe, pipe.from_monolithic(states["action"]), meta
+
+
+def validate(pipe, variables, actions, video, gt_boxes, gt_labels,
+             padding=16, chunk=48, log=print):
+    num_frames = gt_boxes.shape[0]
+
+    def agreement(labels):
+        hits = total = 0
+        for i in range(num_frames):
+            for k in range(2):
+                total += 1
+                hits += int(actions[int(labels[i, k])] == gt_labels[i, k])
+        return hits / total
+
+    from playaid_core_tpu.infer.vod_pipeline import VodAnalyzer
+
+    configs = [
+        ("cv2", dict(decode_backend="cv2")),
+        ("native", dict(decode_backend="native", transfer_format="bgr")),
+        ("native+yuv", dict(decode_backend="native")),
+        ("native+yuv+lowres1", dict(decode_backend="native", lowres=1)),
+        ("native+yuv+lowres2", dict(decode_backend="native", lowres=2)),
+        ("native+yuv+lowres1+stride2",
+         dict(decode_backend="native", lowres=1, stride=2)),
+    ]
+    out = {}
+    base_labels = None
+    for name, kw in configs:
+        an = VodAnalyzer(pipe, variables=variables, chunk=chunk,
+                         padding=padding, **kw)
+        res = an.analyze(video, gt_boxes)
+        acc = agreement(res["labels"])
+        same = None
+        if base_labels is None:
+            base_labels = res["labels"]
+        else:
+            same = float((res["labels"] == base_labels).mean())
+        out[name] = {"gt_agreement": acc, "vs_cv2": same}
+        log(f"{name}: gt-agreement {acc:.2%}"
+            + (f", label-match vs cv2 {same:.2%}" if same is not None else ""))
+    return out
+
+
+def main():
+    workdir = sys.argv[1]
+    frames = int(sys.argv[2]) if len(sys.argv) > 2 else 480
+
+    from tools.pixels_capstone import EVAL_PAIR_SETS, make_eval_video, make_stage
+
+    pipe, variables, meta = load_pipeline(workdir)
+    stage = os.path.join(workdir, "eval_stage.jpg")
+    if not os.path.exists(stage):
+        make_stage(stage, seed=991, kind="bands")
+    pair = tuple(EVAL_PAIR_SETS[0])
+
+    for label, sprite_px in (("normal", (88, 150)), ("far-zoom", (40, 64))):
+        print(f"--- {label} sprites {sprite_px} ---")
+        video = os.path.join(workdir, f"validate_{label.replace('-', '')}.mp4")
+        gt = make_eval_video(video, pair, num_frames=frames,
+                             sprite_px=sprite_px, seed=4100,
+                             stage_path=stage, hud=False)
+        validate(pipe, variables, meta["actions"], video, gt["boxes"],
+                 gt["labels"])
+
+
+if __name__ == "__main__":
+    main()
