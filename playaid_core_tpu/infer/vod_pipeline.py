@@ -613,13 +613,17 @@ def analyze_many(jobs, pipeline=None, variables=None, workers=None,
                  **analyzer_kwargs):
     """Analyze several VODs concurrently on one device context.
 
-    ``jobs``: list of ``(video_path, boxes)`` pairs.  Each job gets its own
-    :class:`VodAnalyzer` (own decoder, staging thread, embedding buffer)
-    while the compiled device programs and weights are shared through one
-    pipeline — the multi-VOD counterpart of the reference's 7-process
-    shell fan-out (reference: multi_manuscript.sh) for the AI path: on a
-    multi-core host, each job's decode rides its own cores and the chip
-    (sustaining ~30k+ fps) interleaves every job's batches.
+    ``jobs``: list of ``(video_path, boxes)`` pairs, or
+    ``(video_path, boxes, per_job_kwargs)`` triples whose dict overrides
+    ``analyzer_kwargs`` for that job — mixed batches (an mpeg4 VOD at
+    lowres=2 next to an h264 VOD at lowres=0) need per-VOD decode
+    settings.  Each job gets its own :class:`VodAnalyzer` (own decoder,
+    staging thread, embedding buffer) while the compiled device programs
+    and weights are shared through one pipeline — the multi-VOD
+    counterpart of the reference's 7-process shell fan-out (reference:
+    multi_manuscript.sh) for the AI path: on a multi-core host, each
+    job's decode rides its own cores and the chip (sustaining ~30k+ fps)
+    interleaves every job's batches.
 
     Returns results in job order; a failed job's slot holds the exception.
     """
@@ -631,8 +635,9 @@ def analyze_many(jobs, pipeline=None, variables=None, workers=None,
     variables = shared.variables
 
     def run_one(job):
-        video_path, boxes = job
-        analyzer = VodAnalyzer(pipe, variables=variables, **analyzer_kwargs)
+        video_path, boxes, *rest = job
+        kwargs = {**analyzer_kwargs, **(rest[0] if rest else {})}
+        analyzer = VodAnalyzer(pipe, variables=variables, **kwargs)
         return analyzer.analyze(video_path, boxes)
 
     workers = workers or min(len(jobs), max(os.cpu_count() or 1, 1))

@@ -69,9 +69,21 @@ def build_model(family: str, num_actions: int, sequence_length: int, dtype=jnp.f
     return model, loss_fn
 
 
-def create_train_state(model, rng, sample_batch, learning_rate):
+def create_train_state(model, rng, sample_batch, learning_rate,
+                       warmup_steps=200):
     variables = model.init(rng, sample_batch)
-    tx = optax.adam(learning_rate)
+    # Short linear warmup, then the reference's constant Adam (reference:
+    # action_detector.py:67-74 used plain Adam): from-scratch ResNet-50 +
+    # post-norm transformer at small batch is unstable in the first few
+    # hundred steps without it.
+    if warmup_steps:
+        schedule = optax.linear_schedule(
+            init_value=learning_rate * 0.05, end_value=learning_rate,
+            transition_steps=warmup_steps,
+        )
+    else:
+        schedule = learning_rate
+    tx = optax.adam(schedule)
     return TrainState.create(
         apply_fn=model.apply,
         params=variables["params"],

@@ -331,12 +331,18 @@ class TestVodAnalyzerNative:
         ref = single.analyze(path, boxes)
 
         results = analyze_many(
-            [(path, boxes), ("/nonexistent.mp4", boxes), (path, boxes[:24])],
+            [(path, boxes), ("/nonexistent.mp4", boxes), (path, boxes[:24]),
+             # per-job kwargs override the shared ones (mixed-codec
+             # batches need per-VOD decode settings)
+             (path, boxes, {"stride": 2})],
             pipeline=pipe, variables=variables, chunk=12,
         )
         assert np.array_equal(results[0]["labels"], ref["labels"])
         assert isinstance(results[1], Exception)
         assert results[2]["labels"].shape == (24, 2)
+        assert results[3]["labels"].shape == ref["labels"].shape
+        assert np.array_equal(results[3]["labels"][0::2],
+                              results[3]["labels"][1::2])
 
     def test_stride_cv2_backend(self, video, pipeline):
         from playaid_core_tpu.infer.vod_pipeline import VodAnalyzer
