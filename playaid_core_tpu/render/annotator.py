@@ -73,6 +73,9 @@ class Annotator:
         self.im = None
         self.pil = False
         self.lw = 2
+        self._canvas = None     # reusable padded canvas (maybe_pad_image)
+        self._text_font = None  # fonts load once, not per frame
+        self._emoji_font = None
 
     def set_frame(self, im, line_width=None, font_size=None, font=TEXT_FONT_PATH,
                   pil=False, example="abc✅"):
@@ -84,11 +87,14 @@ class Annotator:
         if self.pil:
             self.im = im if isinstance(im, Image.Image) else Image.fromarray(im)
             self.draw = ImageDraw.Draw(self.im)
-            self.text_font = ImageFont.load_default()
-            try:
-                self.emoji_font = ImageFont.truetype(EMOJI_FONT_PATH, 32)
-            except OSError:
-                self.emoji_font = self.text_font
+            if self._text_font is None:
+                self._text_font = ImageFont.load_default()
+                try:
+                    self._emoji_font = ImageFont.truetype(EMOJI_FONT_PATH, 32)
+                except OSError:
+                    self._emoji_font = self._text_font
+            self.text_font = self._text_font
+            self.emoji_font = self._emoji_font
         else:
             self.im = im
         self.lw = line_width or max(round(sum(im.shape) / 2 * 0.003), 2)
@@ -234,13 +240,27 @@ class Annotator:
 
     def maybe_pad_image(self):
         """Grow the frame to the padded output canvas (reference:
-        annotator.py:300-313)."""
-        self.im = np.array(self.im)
+        annotator.py:300-313).
+
+        The canvas is REUSED across frames: every padding pixel is either
+        re-blitted each frame (side strips + damage graphs cover the side
+        columns exactly, the two bottom bar charts cover the bottom band)
+        or never written (stays black), so a persistent canvas is
+        pixel-identical to np.pad while skipping a ~9 MB allocate+copy
+        per frame.
+        """
+        self.im = np.asarray(self.im)
         if self.im.shape[0] != self.output_height or self.im.shape[1] != self.output_width:
-            self.im = np.pad(
-                self.im,
-                ((0, self.bottom_padding), (self.left_padding, self.right_padding), (0, 0)),
-            )
+            if (self._canvas is None
+                    or self._canvas.shape[2] != self.im.shape[2]
+                    or self._canvas.dtype != self.im.dtype):
+                self._canvas = np.zeros(
+                    (self.output_height, self.output_width, self.im.shape[2]),
+                    self.im.dtype,
+                )
+            self._canvas[: self.im.shape[0],
+                         self.left_padding : self.left_padding + self.im.shape[1]] = self.im
+            self.im = self._canvas
         self.pil = False
 
     def post_game_summaries(self, fighters, stats):
@@ -273,5 +293,7 @@ class Annotator:
 
     def write(self):
         result = self.result()
+        # cvtColor allocates a fresh BGR frame, so the threaded writer
+        # can take ownership without its defensive copy.
         result = cv2.cvtColor(result, cv2.COLOR_RGBA2BGR)
-        self.video_writer.write(result)
+        self.video_writer.write(result, copy=False)

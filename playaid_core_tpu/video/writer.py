@@ -47,10 +47,12 @@ class _EncodeThread:
                     pass
                 return
 
-    def write(self, frame):
+    def write(self, frame, copy=True):
         if self._error is not None:
             raise self._error
-        self._q.put(frame.copy())
+        # copy=False: caller hands over a frame it will not touch again
+        # (e.g. a freshly allocated cvtColor result).
+        self._q.put(frame.copy() if copy else frame)
 
     def release(self):
         self._q.put(None)
@@ -105,12 +107,15 @@ class VideoWriter:
         else:
             self.writer = _EncodeThread(inner)
 
-    def write(self, bgr_frame):
+    def write(self, bgr_frame, copy=True):
         assert bgr_frame.shape[0] == self.height and bgr_frame.shape[1] == self.width, (
             f"Incorrect frame size, expected {self.width}x{self.height} "
             f"got {bgr_frame.shape[1]}x{bgr_frame.shape[0]}"
         )
-        self.writer.write(bgr_frame)
+        if isinstance(self.writer, _EncodeThread):
+            self.writer.write(bgr_frame, copy=copy)
+        else:
+            self.writer.write(bgr_frame)
 
     def release(self):
         self.writer.release()
