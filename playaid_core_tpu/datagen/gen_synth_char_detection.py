@@ -53,14 +53,34 @@ def get_flat_character_animations(clean_char_dir=None):
     return out
 
 
+def _codec_degrade(img_bgr, rng):
+    """Approximate video-codec softening on a composite: optional
+    downscale/upscale (mpeg4 macroblock smear at default VideoWriter
+    bitrates) followed by a JPEG round-trip at a random quality.
+    Detectors trained on pristine JPEG composites but deployed on
+    decoded video frames otherwise see a large confidence shift."""
+    if rng.random() < 0.5:
+        f = float(rng.uniform(0.55, 0.9))
+        h, w = img_bgr.shape[:2]
+        small = cv2.resize(img_bgr, (max(1, int(w * f)), max(1, int(h * f))))
+        img_bgr = cv2.resize(small, (w, h))
+    q = int(rng.integers(35, 92))
+    ok, buf = cv2.imencode(".jpg", img_bgr, [cv2.IMWRITE_JPEG_QUALITY, q])
+    return cv2.imdecode(buf, cv2.IMREAD_COLOR) if ok else img_bgr
+
+
 def composite_chars_onto_stage(stage_path, char_paths, output_path, class_type="CHAR",
                                rng=None, bbox_overlay=False, char_list=None,
-                               augment=True):
+                               augment=True, identity_safe=False, degrade=0.0):
     """(reference: gen_synth_char_detection.py:190-262)
 
-    ``augment=False`` skips the sprite augmentation (whose full-range hue
-    shift erases color-coded identity cues) — useful when class identity
-    is color-dependent."""
+    ``augment=False`` skips the sprite augmentation entirely;
+    ``identity_safe=True`` keeps the augmentation but bounds the hue
+    rotation so color-coded identity survives (sprite assets carry
+    class identity in palette).  ``degrade`` is the probability of a
+    codec-style degradation of the finished composite (see
+    :func:`_codec_degrade`) so train-time statistics match decoded
+    video frames."""
     rng = rng or np.random.default_rng()
     char_list = char_list or constants.CHAR_LIST
     stage = Image.open(stage_path).convert("RGB")
@@ -84,7 +104,8 @@ def composite_chars_onto_stage(stage_path, char_paths, output_path, class_type="
         char = char.resize((basewidth, max(hsize, 1)))
         if augment:
             char = Image.fromarray(
-                augment_synth_char_crop(np.array(char), rng=rng, output_size=basewidth)
+                augment_synth_char_crop(np.array(char), rng=rng, output_size=basewidth,
+                                        identity_safe=identity_safe)
             )
 
         # Gaussian placement toward the stage center
@@ -115,6 +136,8 @@ def composite_chars_onto_stage(stage_path, char_paths, output_path, class_type="
         )
 
     out = cv2.cvtColor(np.array(stage), cv2.COLOR_RGB2BGR)
+    if degrade and rng.random() < degrade:
+        out = _codec_degrade(out, rng)
     if bbox_overlay:
         for cx, cy, w, h in pixel_bbox_data:
             out = cv2.rectangle(
@@ -131,7 +154,8 @@ def generate_stage_char_compositions(sub_dir_name, n_generations, class_type="CH
                                      overwrite=False, bbox_overlay=False, seed=None,
                                      output_root=None, stages_dir=None,
                                      clean_char_dir=None, char_list=None,
-                                     augment=True):
+                                     augment=True, identity_safe=False,
+                                     degrade=0.0):
     rng = np.random.default_rng(seed)
     stages = get_stage_paths(stages_dir)
     char_animations = get_flat_character_animations(clean_char_dir)
@@ -157,7 +181,8 @@ def generate_stage_char_compositions(sub_dir_name, n_generations, class_type="CH
         composite_chars_onto_stage(
             stage, selected, os.path.join(images_dir, f"comp-{i}.jpg"),
             class_type=class_type, rng=rng, bbox_overlay=bbox_overlay,
-            char_list=char_list, augment=augment,
+            char_list=char_list, augment=augment, identity_safe=identity_safe,
+            degrade=degrade,
         )
     return n_generations
 

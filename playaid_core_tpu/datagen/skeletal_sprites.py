@@ -673,7 +673,8 @@ def tight_crop(img, margin=3, min_size=104):
 
 
 def generate_sprite_set(root, fighters=None, moves=None, frames_per_move=16,
-                        variant_seeds=(0,), size=176, seed=0, facing_both=True):
+                        variant_seeds=(0,), size=176, seed=0, facing_both=True,
+                        phase_offsets=None):
     """Write clean-char sprite sets consumable by the synth dataset and
     the composite generator.
 
@@ -681,6 +682,13 @@ def generate_sprite_set(root, fighters=None, moves=None, frames_per_move=16,
     {move_lower}_frame_{90|270}_{i}.png`` — the cam field encodes facing
     (90 = right, 270 = left) so each (variant, facing) pair forms its own
     coherent animation sequence in ``char_anim_dict``.
+
+    ``phase_offsets`` maps variant seed -> sub-frame phase offset in
+    fractional frames (frame i renders at phase ``(i + off) /
+    frames_per_move``).  Staggering offsets across variants puts
+    in-between poses into the training pool, so downstream consumers see
+    the continuous phases an eval renderer produces — each (variant,
+    facing) sequence stays internally coherent.
     """
     fighters = fighters or list(FIGHTER_STYLES)
     moves = moves or MOVES
@@ -691,10 +699,11 @@ def generate_sprite_set(root, fighters=None, moves=None, frames_per_move=16,
             d = os.path.join(root, fighter, move)
             os.makedirs(d, exist_ok=True)
             for v in variant_seeds:
+                off = (phase_offsets or {}).get(v, 0.0)
                 for facing, cam in ((1, 90), (-1, 270)) if facing_both else ((1, 90),):
                     for i in range(frames_per_move):
                         img = render_sprite(
-                            fighter, move, i / frames_per_move, size=size,
+                            fighter, move, (i + off) / frames_per_move, size=size,
                             facing=facing, variant_seed=v, noise_rng=rng,
                         )
                         img = tight_crop(img)

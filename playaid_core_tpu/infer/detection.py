@@ -149,7 +149,8 @@ class JaxCharacterDetector:
             batch = np.stack(frames)
             rgb = batch[..., ::-1]
             results = self.trainer.detect(
-                rgb, max_det=self.max_det, score_threshold=self.score_threshold
+                rgb, max_det=self.max_det, score_threshold=self.score_threshold,
+                classes=sorted(self.classes) if self.classes is not None else None,
             )
             for img, frame_idx, dets in zip(batch, indices, results):
                 # YOLO numbering is 1-indexed.

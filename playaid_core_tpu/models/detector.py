@@ -186,13 +186,22 @@ def detector_loss(outputs, targets, size_weight=0.1, offset_weight=1.0):
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("max_det",))
-def decode_detections(outputs, max_det=8):
+def decode_detections(outputs, max_det=8, class_mask=None):
     """Peak extraction: 3x3 max-pool NMS + top-k, fully on device.
+
+    ``class_mask`` ([C] of 0/1) restricts decoding to the allowed class
+    channels *before* peak extraction — the semantics of the reference's
+    YOLO ``classes={2,3}`` match-known-fighters filter
+    (reference: ai_runner.py:201).  Masking before the top-k matters: a
+    location whose unrestricted argmax falls on a disallowed class is
+    re-attributed to its best allowed class instead of being dropped.
 
     Returns (boxes [B, K, 4] normalized yolo, scores [B, K],
     classes [B, K]).
     """
     heat = jax.nn.sigmoid(outputs["heatmap"])  # [B, H, W, C]
+    if class_mask is not None:
+        heat = heat * class_mask.astype(heat.dtype)[None, None, None, :]
     b, h, w, c = heat.shape
     pooled = nn.max_pool(heat, (3, 3), strides=(1, 1), padding="SAME")
     peaks = jnp.where(jnp.abs(pooled - heat) < 1e-6, heat, 0.0)

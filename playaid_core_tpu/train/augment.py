@@ -158,9 +158,18 @@ def augment_synth_char_crop(
     downscale_p=0.2,
     resize=0.2,
     output_size=128,
+    identity_safe=False,
 ):
     """RGBA (alpha-aware) augmentation for synthetic character sprites
-    (reference: dataset_utils.py:255-378)."""
+    (reference: dataset_utils.py:255-378).
+
+    ``identity_safe`` bounds the hue/saturation jitter so color-coded
+    character identity survives: the reference's characters are
+    identified by a trained YOLO over real renders, but synthetic
+    sprite identity is largely carried by palette — full-range hue
+    rotation (the default, matching the reference's aggressive
+    HueSaturationValue) makes the class head unlearnable on such
+    assets."""
     rng = rng or np.random.default_rng()
     if output_size:
         char_crop = aspect_resize(char_crop, width=output_size)
@@ -182,10 +191,16 @@ def augment_synth_char_crop(
     if rng.random() < horizontal_flip:
         rgb, alpha = hflip(rgb), alpha[:, ::-1]
     if rng.random() < 0.3:
-        rgb = brightness_contrast(rgb, rng, brightness_limit=(-0.2, 0.6))
+        rgb = brightness_contrast(
+            rgb, rng,
+            brightness_limit=(-0.2, 0.3) if identity_safe else (-0.2, 0.6))
     if rng.random() < 0.05:
         rgb = blur(rgb, rng)
-    rgb = hue_saturation_value(rgb, rng, val_limit=(-10, 10))
+    if identity_safe:
+        rgb = hue_saturation_value(rgb, rng, hue_limit=(-8, 8),
+                                   sat_limit=(-30, 30), val_limit=(-10, 10))
+    else:
+        rgb = hue_saturation_value(rgb, rng, val_limit=(-10, 10))
     if rng.random() < 0.2:
         rgb = gauss_noise(rgb, rng, (427.63, 500.0))
     if rng.random() < hard_mode:
@@ -197,7 +212,7 @@ def augment_synth_char_crop(
     if rng.random() < hard_mode:
         side = min(96, rgb.shape[0] // 3)
         rgb = coarse_dropout(rgb, rng, max_holes=2, max_height=side, max_width=side)
-    if rng.random() < hard_mode:
+    if not identity_safe and rng.random() < hard_mode:
         rgb = channel_dropout(rgb, rng)
     if rng.random() < downscale_p:
         rgb = downscale(rgb, rng)

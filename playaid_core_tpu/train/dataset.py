@@ -201,6 +201,7 @@ class UltActionRecogDataset:
         manual_split="train",
         synth_sprite_fill=(1.0, 1.0),
         synth_center_jitter=0,
+        synth_frame_degrade=0.0,
     ):
         self.split = split
         self.num_samples = num_samples
@@ -214,6 +215,7 @@ class UltActionRecogDataset:
         self.num_preceding_actions = num_preceding_actions
         self.synth_sprite_fill = synth_sprite_fill
         self.synth_center_jitter = synth_center_jitter
+        self.synth_frame_degrade = synth_frame_degrade
         self.rng = np.random.default_rng(seed)
 
         self.num_frames_per_sample_options = (
@@ -402,6 +404,13 @@ class UltActionRecogDataset:
         )
 
         frames = []
+        # One fill per clip (+/- small per-frame jitter): detector boxes
+        # are near-constant within a window, so per-frame scale swings
+        # would be pure nuisance motion the temporal model must ignore.
+        fill_base = float(rng.uniform(*self.synth_sprite_fill))
+        fill_lo, fill_hi = self.synth_sprite_fill
+        degrade_clip = self.synth_frame_degrade and rng.random() < self.synth_frame_degrade
+        jpeg_q = int(rng.integers(40, 92)) if degrade_clip else None
         for frame_path in clip_paths:
             if self.randomize_stage_background:
                 stage_path = rng.choice(self.stage_paths)
@@ -414,12 +423,21 @@ class UltActionRecogDataset:
                     Image.open(stage_path).convert("RGB"),
                     self.img_dimension, self.img_dimension, ul, 10, rng,
                 )
-            fill = float(rng.uniform(*self.synth_sprite_fill))
+            fill = float(np.clip(fill_base + rng.uniform(-0.04, 0.04),
+                                 fill_lo, fill_hi)) if fill_hi > fill_lo else fill_base
             frame = load_and_composite_sprite(
                 frame_path, stage_cropped, self.synth_difficulty, rng, fill=fill,
                 center_jitter=self.synth_center_jitter,
             )
-            frames.append(np.array(frame))
+            arr = np.array(frame)
+            if degrade_clip:
+                # codec-style softening, constant across the clip (eval
+                # crops come from one encoded video, not per-frame codecs)
+                ok, buf = cv2.imencode(".jpg", arr[:, :, ::-1],
+                                       [cv2.IMWRITE_JPEG_QUALITY, jpeg_q])
+                if ok:
+                    arr = cv2.imdecode(buf, cv2.IMREAD_COLOR)[:, :, ::-1]
+            frames.append(arr)
 
         input_frames = np.asarray(frames, dtype=np.float32) / 255.0
         anim_label = np.asarray([self._label_id(a) for a in clip_actions], dtype=np.int32)

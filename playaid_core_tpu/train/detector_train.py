@@ -36,10 +36,18 @@ from playaid_core_tpu.train.train import TrainState
 
 
 class DetectionDataset:
-    """YOLO-format (images/, labels/) directory pair."""
+    """YOLO-format (images/, labels/) directory pair.
+
+    ``sample_augment=True`` applies identity-safe photometric jitter +
+    codec-style degradation per *draw* (after the resize to model
+    input).  Composite pools are finite and each file's baked-in
+    augmentation is frozen at generation time, so without per-draw
+    variation a class head sees each exact pixel pattern dozens of
+    times and memorizes instead of generalizing (round-3 diagnosis:
+    98% loc+class on seen composites, chance on fresh ones)."""
 
     def __init__(self, root, input_hw=(256, 448), num_classes=6, max_boxes=8,
-                 stride=4, seed=None):
+                 stride=4, seed=None, sample_augment=False):
         self.images = sorted(glob(os.path.join(root, "images", "*.jpg")))
         if not self.images:
             raise RuntimeError(f"no detection images under {root}")
@@ -47,7 +55,39 @@ class DetectionDataset:
         self.num_classes = num_classes
         self.max_boxes = max_boxes
         self.stride = stride
+        self.sample_augment = sample_augment
         self.rng = np.random.default_rng(seed)
+
+    def _augment_input(self, img):
+        """Identity-safe per-draw jitter on the resized uint8 RGB input."""
+        rng = self.rng
+        # brightness/contrast
+        if rng.random() < 0.6:
+            a = rng.uniform(0.85, 1.15)
+            b = rng.uniform(-25, 25)
+            img = np.clip(img.astype(np.float32) * a + b, 0, 255).astype(np.uint8)
+        # mild hue/sat drift (identity-safe bounds)
+        if rng.random() < 0.4:
+            hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV).astype(np.int16)
+            hsv[..., 0] = (hsv[..., 0] + rng.integers(-6, 7)) % 180
+            hsv[..., 1] = np.clip(hsv[..., 1] + rng.integers(-20, 21), 0, 255)
+            img = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
+        # codec-style degradation: downscale/upscale then JPEG roundtrip
+        if rng.random() < 0.5:
+            if rng.random() < 0.5:
+                f = rng.uniform(0.6, 0.9)
+                h, w = img.shape[:2]
+                img = cv2.resize(cv2.resize(img, (int(w * f), int(h * f))), (w, h))
+            q = int(rng.integers(40, 95))
+            ok, buf = cv2.imencode(".jpg", img[:, :, ::-1],
+                                   [cv2.IMWRITE_JPEG_QUALITY, q])
+            if ok:
+                img = cv2.imdecode(buf, cv2.IMREAD_COLOR)[:, :, ::-1]
+        # sensor noise
+        if rng.random() < 0.3:
+            noise = rng.normal(0, rng.uniform(2, 9), img.shape)
+            img = np.clip(img.astype(np.float32) + noise, 0, 255).astype(np.uint8)
+        return img
 
     def __len__(self):
         return len(self.images)
@@ -61,6 +101,8 @@ class DetectionDataset:
         img = cv2.imread(path)
         img = cv2.resize(img, (self.input_w, self.input_h))
         img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        if self.sample_augment:
+            img = self._augment_input(np.ascontiguousarray(img))
         if not uint8:
             img = img.astype(np.float32) / 255.0
 
@@ -180,9 +222,13 @@ class DetectorTrainer:
                         f.write(json.dumps(rec) + "\n")
         return self.state
 
-    def detect(self, images_u8, max_det=8, score_threshold=0.3):
+    def detect(self, images_u8, max_det=8, score_threshold=0.3, classes=None):
         """images [B, H, W, 3] uint8 RGB (any size; resized to the model
-        input) -> list of per-image [(class, score, yolo_box), ...]."""
+        input) -> list of per-image [(class, score, yolo_box), ...].
+
+        ``classes``: optional iterable of allowed class ids; decoding is
+        restricted to those heatmap channels (YOLO ``classes=`` filter
+        semantics — see decode_detections)."""
         b = images_u8.shape[0]
         resized = np.stack([
             cv2.resize(img, (self.input_hw[1], self.input_hw[0])) for img in images_u8
@@ -190,8 +236,14 @@ class DetectorTrainer:
         outputs = self._apply_jit(
             self.state.params, self.state.batch_stats, jnp.asarray(resized)
         )
-        boxes, scores, classes = decode_detections(outputs, max_det=max_det)
-        boxes, scores, classes = jax.device_get((boxes, scores, classes))
+        mask = None
+        if classes is not None:
+            mask_np = np.zeros((self.num_classes,), np.float32)
+            mask_np[list(classes)] = 1.0
+            mask = jnp.asarray(mask_np)
+        boxes, scores, classes = jax.device_get(
+            decode_detections(outputs, max_det=max_det, class_mask=mask)
+        )
         results = []
         for i in range(b):
             keep = scores[i] >= score_threshold
@@ -202,6 +254,41 @@ class DetectorTrainer:
                 ]
             )
         return results
+
+    def evaluate(self, dataset, num_images=64, score_threshold=0.05,
+                 tol=(0.06, 0.08)):
+        """Center-localization and loc+class rates over ``num_images``
+        sampled from a (held-out) DetectionDataset.  The per-draw
+        augmentation of the dataset applies, so this measures the
+        training distribution, not pristine files."""
+        loc_hits, cls_hits, total = 0, 0, 0
+        batch = 16
+        done = 0
+        while done < num_images:
+            imgs, gts = [], []
+            for _ in range(min(batch, num_images - done)):
+                img, _t, (boxes, classes, valid) = dataset.sample(uint8=True)
+                imgs.append(img)
+                gts.append((boxes, classes, valid))
+            done += len(imgs)
+            dets = self.detect(np.stack(imgs), score_threshold=score_threshold)
+            for d, (boxes, classes, valid) in zip(dets, gts):
+                for m in range(len(valid)):
+                    if not valid[m]:
+                        continue
+                    total += 1
+                    for (c, _s, bb) in d:
+                        if (abs(bb[0] - boxes[m][0]) < tol[0]
+                                and abs(bb[1] - boxes[m][1]) < tol[1]):
+                            loc_hits += 1
+                            if c == int(classes[m]):
+                                cls_hits += 1
+                            break
+        return {
+            "loc": loc_hits / max(total, 1),
+            "loc_class": cls_hits / max(total, 1),
+            "boxes": total,
+        }
 
 
 @click.command()

@@ -70,13 +70,20 @@ def build_model(family: str, num_actions: int, sequence_length: int, dtype=jnp.f
 
 
 def create_train_state(model, rng, sample_batch, learning_rate,
-                       warmup_steps=200):
+                       warmup_steps=200, decay_steps=None):
     variables = model.init(rng, sample_batch)
     # Short linear warmup, then the reference's constant Adam (reference:
     # action_detector.py:67-74 used plain Adam): from-scratch ResNet-50 +
     # post-norm transformer at small batch is unstable in the first few
-    # hundred steps without it.
-    if warmup_steps:
+    # hundred steps without it.  ``decay_steps`` switches to cosine decay
+    # to 10% over that horizon — long fixed-budget runs converge tighter.
+    if decay_steps:
+        schedule = optax.warmup_cosine_decay_schedule(
+            init_value=learning_rate * 0.05, peak_value=learning_rate,
+            warmup_steps=warmup_steps or 1, decay_steps=decay_steps,
+            end_value=learning_rate * 0.1,
+        )
+    elif warmup_steps:
         schedule = optax.linear_schedule(
             init_value=learning_rate * 0.05, end_value=learning_rate,
             transition_steps=warmup_steps,
@@ -173,6 +180,8 @@ class TrainerConfig:
     # reference: action_detector.py:59-61).  Requires a tensorboard
     # writer implementation (torch's is used when importable).
     tensorboard_dir: Optional[str] = None
+    # Cosine-decay horizon in steps (None = constant LR after warmup)
+    lr_decay_steps: Optional[int] = None
     dtype: Any = jnp.float32
 
 
@@ -209,7 +218,8 @@ class Trainer:
         s = self.config.crop_size
         sample = jnp.zeros((1, t, s, s, 3), jnp.float32)
         self.state = create_train_state(
-            self.model, rng, sample, self.config.learning_rate
+            self.model, rng, sample, self.config.learning_rate,
+            decay_steps=self.config.lr_decay_steps,
         )
         # Place params on the mesh: TP rules for the model axis, replicate
         # the rest; batch_stats replicated.

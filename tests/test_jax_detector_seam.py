@@ -14,7 +14,7 @@ from playaid_core_tpu.infer.detection import JaxCharacterDetector, read_yolo_cro
 class FakeTrainer:
     """Stands in for a trained DetectorTrainer: two fixed detections."""
 
-    def detect(self, images_rgb, max_det=4, score_threshold=0.3):
+    def detect(self, images_rgb, max_det=4, score_threshold=0.3, classes=None):
         out = []
         for _ in range(images_rgb.shape[0]):
             out.append(

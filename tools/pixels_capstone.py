@@ -61,12 +61,29 @@ HUD_FONT = "cmr10.ttf"       # Computer Modern: foreign foundry vs the OCR
 
 def make_stage(path, seed, kind):
     """Procedural 1280x720 stage texture.  Train kinds: 'noise',
-    'platforms'.  Eval kind 'bands' is a texture family the training
+    'platforms', 'blobs', 'tiles'.  Eval kind 'bands' (diagonal
+    sinusoid gradient + vignette) is a texture family the training
     composites never see."""
     rng = np.random.default_rng(seed)
     h, w = 720, 1280
     if kind == "noise":
         img = rng.integers(20, 90, (h, w, 3), dtype=np.uint8)
+    elif kind == "blobs":
+        # large smooth color blobs: low-frequency content without the
+        # eval family's banded structure
+        small = rng.integers(15, 120, (6, 10, 3)).astype(np.float32)
+        img = cv2.resize(small, (w, h), interpolation=cv2.INTER_CUBIC)
+        noise = rng.integers(-10, 11, img.shape)
+        img = np.clip(img + noise, 0, 255).astype(np.uint8)
+    elif kind == "tiles":
+        img = np.zeros((h, w, 3), np.uint8)
+        base = rng.integers(20, 80, 3)
+        tw, thh = int(rng.integers(80, 200)), int(rng.integers(60, 160))
+        for ty in range(0, h, thh):
+            for tx in range(0, w, tw):
+                c = np.clip(base + rng.integers(-25, 26, 3), 0, 255)
+                img[ty:ty + thh, tx:tx + tw] = c
+        img = cv2.GaussianBlur(img, (9, 9), 0)
     elif kind == "platforms":
         base = np.zeros((h, w, 3), np.uint8)
         base[:] = rng.integers(25, 70, 3)
@@ -392,7 +409,7 @@ def analyze_match(video_path, pair, det_trainer, pipe, split_vars, workdir,
     return score_run(runner, pair, gt)
 
 
-def run_capstone(workdir, det_steps=8000, det_composites=1200, act_epochs=40,
+def run_capstone(workdir, det_steps=8000, det_composites=1200, act_epochs=60,
                  act_steps=64, eval_frames=1800, eval_pairs=3,
                  small_eval=True, act_batch=16, verbose=True):
     import jax
@@ -420,14 +437,19 @@ def run_capstone(workdir, det_steps=8000, det_composites=1200, act_epochs=40,
         print("generating skeletal sprite sets "
               f"({len(fighters)} fighters x {len(sk.MOVES)}+{len(sk.EXTRA_MOVES)} moves "
               f"x {len(TRAIN_VARIANTS)} variants x 2 facings x {ANIM_FRAMES} frames)...")
+        # stagger sub-frame phase across variants so the pool contains
+        # the eval renderer's continuous 1/48-cycle phases
+        offsets = {v: (k % 3) / 3.0 for k, v in enumerate(TRAIN_VARIANTS)}
         n = sk.generate_sprite_set(
             clean, fighters=fighters, moves=sk.MOVES + sk.EXTRA_MOVES,
             frames_per_move=ANIM_FRAMES, variant_seeds=TRAIN_VARIANTS,
+            phase_offsets=offsets,
         )
         print(f"  {n} sprites")
-    for i in range(4):
+    train_kinds = ["noise", "platforms", "blobs", "tiles"]
+    for i in range(8):
         make_stage(os.path.join(stages, f"train_{i}.jpg"), seed=i,
-                   kind="noise" if i % 2 == 0 else "platforms")
+                   kind=train_kinds[i % len(train_kinds)])
 
     # --- detector -------------------------------------------------------
     print("generating detection composites...")
@@ -435,7 +457,13 @@ def run_capstone(workdir, det_steps=8000, det_composites=1200, act_epochs=40,
         "train", det_composites, seed=0,
         output_root=os.path.join(workdir, "composites"),
         stages_dir=stages, clean_char_dir=clean,
-        char_list=list(constants.CHAR_LIST), augment=True,
+        char_list=list(constants.CHAR_LIST),
+        # identity_safe: sprite identity is color-coded, full-range hue
+        # rotation makes the class head unlearnable (round-3 diagnosis:
+        # loc 96% / loc+class 12% on eval video).  degrade: mpeg4-decoded
+        # eval frames are soft; pristine-JPEG-only training collapses
+        # heatmap confidence 0.9 -> 0.2 on video frames.
+        augment=True, identity_safe=True, degrade=0.6,
     )
     det_ds = DetectionDataset(
         os.path.join(workdir, "composites", "train"), input_hw=(256, 448),
@@ -459,12 +487,14 @@ def run_capstone(workdir, det_steps=8000, det_composites=1200, act_epochs=40,
         # center jitter matches detector center error
         synth_sprite_fill=(0.70, 0.98),
         synth_center_jitter=10,
+        synth_frame_degrade=0.5,
     )
     config = TrainerConfig(
         family="resformer", num_actions=len(ACTIONS), sequence_length=7,
         batch_size=act_batch, learning_rate=3e-4,
         num_samples=act_steps * act_batch, crop_size=128,
         curriculum_threshold=0.90, dtype=jnp.bfloat16,
+        lr_decay_steps=act_epochs * act_steps,
     )
     print("training flagship ResFormer action model...")
     act_trainer = Trainer(config, action_ds)
@@ -588,7 +618,7 @@ def main():
         workdir,
         det_steps=int(os.environ.get("DET_STEPS", "8000")),
         det_composites=int(os.environ.get("DET_COMPOSITES", "1200")),
-        act_epochs=int(os.environ.get("ACT_EPOCHS", "40")),
+        act_epochs=int(os.environ.get("ACT_EPOCHS", "60")),
         act_steps=int(os.environ.get("ACT_STEPS", "64")),
         eval_frames=int(os.environ.get("EVAL_FRAMES", "1800")),
         eval_pairs=int(os.environ.get("EVAL_PAIRS", "3")),
