@@ -665,7 +665,7 @@ class AIRunner:
             self.player_id_to_fighter[pid] = fighter
         return self.player_id_to_fighter
 
-    def run_damage_detection(self, ocr=None):
+    def run_damage_detection(self, ocr=None, smooth=5):
         self.determine_player_id_to_fighter()
         # Default: the trained conv digit classifier (handles stylized/
         # tinted HUD glyphs; falls back to template matching when its
@@ -687,7 +687,36 @@ class AIRunner:
                     )
                 fighter = self.player_id_to_fighter[player_id]
                 self.ai_output_data[fighter][i].damage = damage
+        if smooth and smooth > 1:
+            self.smooth_damage(window=smooth)
         return num_confident
+
+    def smooth_damage(self, window=5):
+        """Temporal median over the per-fighter damage track.
+
+        HUD damage is a step function that holds for many frames between
+        hits, so an odd-window median is exact at every step boundary
+        (for runs >= (window+1)//2 + 1) and erases isolated OCR
+        misreads — it cannot smear a legitimate jump the way a mean
+        would.  The reference read each frame independently
+        (ai_runner.py:537-590) and inherited PaddleOCR's per-frame
+        noise."""
+        half = window // 2
+        for fighter, per_frame in self.ai_output_data.items():
+            frames = sorted(k for k, v in per_frame.items()
+                            if isinstance(v, dict) and "damage" in v)
+            vals = {i: per_frame[i].damage for i in frames}
+            usable = [i for i in frames if vals[i] is not None]
+            if len(usable) < window:
+                continue
+            smoothed = {}
+            for i in frames:
+                neigh = [vals[j] for j in range(i - half, i + half + 1)
+                         if j in vals and vals[j] is not None]
+                if neigh:
+                    smoothed[i] = float(np.median(neigh))
+            for i, v in smoothed.items():
+                per_frame[i].damage = v
 
     # ------------------------------------------------------------------
     # ai_output.yaml cache (reference: ai_runner.py:592-608)

@@ -96,15 +96,38 @@ class DetectionDataset:
         return image_path.replace(os.sep + "images" + os.sep,
                                   os.sep + "labels" + os.sep).replace(".jpg", ".txt")
 
+    def _augment_geom(self, img, boxes, valid):
+        """Per-draw horizontal flip + zoom-crop on the source-resolution
+        image, with normalized-box remapping.  Photometric jitter alone
+        leaves sprite layout/scale identical across draws of a composite
+        — geometry variation is what makes a finite pool behave like a
+        large one for the class head."""
+        rng = self.rng
+        if rng.random() < 0.5:
+            img = img[:, ::-1]
+            boxes = boxes.copy()
+            boxes[:, 0] = 1.0 - boxes[:, 0]
+        if rng.random() < 0.7:
+            z = float(rng.uniform(0.72, 0.97))
+            h, w = img.shape[:2]
+            cw, ch = int(w * z), int(h * z)
+            x0 = int(rng.integers(0, w - cw + 1))
+            y0 = int(rng.integers(0, h - ch + 1))
+            img = img[y0:y0 + ch, x0:x0 + cw]
+            nb = boxes.copy()
+            nb[:, 0] = (boxes[:, 0] * w - x0) / cw
+            nb[:, 1] = (boxes[:, 1] * h - y0) / ch
+            nb[:, 2] = boxes[:, 2] / z
+            nb[:, 3] = boxes[:, 3] / z
+            inside = ((nb[:, 0] > 0.01) & (nb[:, 0] < 0.99)
+                      & (nb[:, 1] > 0.01) & (nb[:, 1] < 0.99))
+            valid = valid & inside
+            boxes = nb
+        return np.ascontiguousarray(img), boxes, valid
+
     def sample(self, uint8=False):
         path = self.images[int(self.rng.integers(0, len(self.images)))]
         img = cv2.imread(path)
-        img = cv2.resize(img, (self.input_w, self.input_h))
-        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-        if self.sample_augment:
-            img = self._augment_input(np.ascontiguousarray(img))
-        if not uint8:
-            img = img.astype(np.float32) / 255.0
 
         boxes = np.zeros((self.max_boxes, 4), np.float32)
         classes = np.zeros((self.max_boxes,), np.int32)
@@ -117,6 +140,15 @@ class DetectionDataset:
                 classes[i] = int(float(parts[0]))
                 boxes[i] = [float(v) for v in parts[1:5]]
                 valid[i] = 0 <= classes[i] < self.num_classes
+
+        if self.sample_augment:
+            img, boxes, valid = self._augment_geom(img, boxes, valid)
+        img = cv2.resize(img, (self.input_w, self.input_h))
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        if self.sample_augment:
+            img = self._augment_input(np.ascontiguousarray(img))
+        if not uint8:
+            img = img.astype(np.float32) / 255.0
 
         out_h, out_w = self.input_h // self.stride, self.input_w // self.stride
         heat, size, offset, mask = build_targets(
@@ -171,7 +203,7 @@ def make_detector_train_step(model):
 
 class DetectorTrainer:
     def __init__(self, dataset, num_classes=6, learning_rate=5e-4, input_hw=(256, 448),
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, weight_decay=1e-4):
         self.dataset = dataset
         self.model = CenterNetDetector(num_classes=num_classes, dtype=dtype)
         self.input_hw = input_hw
@@ -182,7 +214,11 @@ class DetectorTrainer:
             apply_fn=self.model.apply,
             params=variables["params"],
             batch_stats=variables["batch_stats"],
-            tx=optax.adam(learning_rate),
+            # Decoupled weight decay: composite pools are synthetic and
+            # finite, so the class head overfits layout/appearance pairs
+            # without explicit regularization (round-3 diagnosis: 98%
+            # loc+class on train composites vs 43% held-out).
+            tx=optax.adamw(learning_rate, weight_decay=weight_decay),
         )
         self.train_step = make_detector_train_step(self.model)
         def _apply(params, stats, images):

@@ -430,3 +430,30 @@ def test_damage_ocr_stage(runner_env, monkeypatch):
     assert runner.ai_output_data["Pikachu"][0].damage == 42.0
     # Player-id map derived from detections: Pikachu (class 2) starts left.
     assert runner.player_id_to_fighter[0] == "Pikachu"
+
+
+def test_damage_median_smoothing(runner_env, monkeypatch):
+    d, video = runner_env
+    monkeypatch.setattr(constants, "AI_CACHE", str(d / "ai_cache2"))
+    runner = _make_runner(d, video)
+    runner.run_detection_setup()
+
+    # Step function 10.0 -> 55.5 with an isolated misread on each side:
+    # the median-5 must erase the misreads and keep the step boundary
+    # frame-exact.
+    n = runner.max_frames
+    jump = n // 2
+    seq = [10.0] * jump + [55.5] * (n - jump)
+    seq[2] = 80.0           # isolated misread
+    seq[jump + 3] = 5.0     # isolated misread
+    it = {"i": -1}
+
+    def fake_ocr(crop):
+        # two crops per frame (both players) share the frame's value
+        it["i"] += 1
+        return True, (seq[it["i"] // 2], "x", 0.9, {})
+
+    runner.run_damage_detection(ocr=fake_ocr, smooth=5)
+    got = [runner.ai_output_data["Pikachu"][i].damage for i in range(n)]
+    want = [10.0] * jump + [55.5] * (n - jump)
+    assert got == want

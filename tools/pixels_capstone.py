@@ -463,11 +463,14 @@ def run_capstone(workdir, det_steps=8000, det_composites=1200, act_epochs=60,
         # loc 96% / loc+class 12% on eval video).  degrade: mpeg4-decoded
         # eval frames are soft; pristine-JPEG-only training collapses
         # heatmap confidence 0.9 -> 0.2 on video frames.
-        augment=True, identity_safe=True, degrade=0.6,
+        augment=True, identity_safe=True, degrade=0.3,
     )
     det_ds = DetectionDataset(
         os.path.join(workdir, "composites", "train"), input_hw=(256, 448),
         num_classes=len(constants.CHAR_LIST), seed=0,
+        # per-draw photometric + geometric jitter: finite pools with
+        # baked-in augmentation are memorized by the class head
+        sample_augment=True,
     )
     print("training detector...")
     det_trainer = DetectorTrainer(det_ds, num_classes=len(constants.CHAR_LIST),
