@@ -110,7 +110,8 @@ class JaxCharacterDetector:
     """
 
     def __init__(self, trainer, char_list=None, score_threshold=0.3, max_det=4,
-                 crop_size=128, crop_padding=30, batch_size=16, classes=None):
+                 crop_size=128, crop_padding=30, batch_size=16, classes=None,
+                 track_weight=1.0, track_slack=0.08):
         self.trainer = trainer
         self.char_list = char_list or constants.CHAR_LIST
         self.score_threshold = score_threshold
@@ -118,6 +119,12 @@ class JaxCharacterDetector:
         self.crop_size = crop_size
         self.crop_padding = crop_padding
         self.batch_size = batch_size
+        # Tracking prior (normalized-coordinate L1): candidates farther
+        # than ``track_slack`` from the class's last confirmed center pay
+        # ``track_weight`` per unit distance.  0 disables.
+        self.track_weight = track_weight
+        self.track_slack = track_slack
+        self._last_center = {}
         # Optional class restriction, mirroring the reference's YOLO
         # ``classes={2, 3}`` match-known-fighters filter
         # (reference: ai_runner.py:201): stray misclassifications outside
@@ -139,6 +146,8 @@ class JaxCharacterDetector:
             return exp_name
         os.makedirs(labels_dir, exist_ok=True)
         video_name = os.path.splitext(os.path.basename(input_video_path))[0]
+        # Per-video tracking state (see the tracking prior in flush()).
+        self._last_center = {}
 
         reader = VideoReader(input_video_path)
         frames, indices = [], []
@@ -156,30 +165,51 @@ class JaxCharacterDetector:
                 # YOLO numbering is 1-indexed.
                 label_path = os.path.join(labels_dir, f"{video_name}_{frame_idx + 1}.txt")
                 lines = []
-                seen_classes = set()
+                by_class = {}
                 for class_id, score, box in dets:
-                    if class_id in seen_classes or not (0 <= class_id < len(self.char_list)):
+                    if not (0 <= class_id < len(self.char_list)):
                         continue
                     if self.classes is not None and class_id not in self.classes:
                         continue
-                    crop = YoloCrop(*box, confidence=score, class_id=class_id)
-                    ok, crop_img = crop.square_crop(
-                        img, self.crop_size, padding=self.crop_padding
-                    )
-                    if not ok:
-                        # Keep the label-implies-crop invariant the AIRunner
-                        # cleanup relies on (a label with no jpg defeats gap
-                        # interpolation and crashes recognition).
-                        continue
-                    seen_classes.add(class_id)
-                    lines.append(str(crop))
-                    fighter = self.char_list[class_id]
-                    fdir = os.path.join(crops_dir, fighter)
-                    os.makedirs(fdir, exist_ok=True)
-                    cv2.imwrite(
-                        os.path.join(fdir, f"{video_name}_{frame_idx + 1}.jpg"),
-                        crop_img,
-                    )
+                    by_class.setdefault(class_id, []).append((score, box))
+                for class_id, cands in by_class.items():
+                    # Tracking prior: restricted decoding re-attributes
+                    # disallowed-class peaks, which can plant a phantom
+                    # of OUR class near the OTHER fighter that outscores
+                    # the true peak for stretches of frames.  Fighters
+                    # move a few px/frame, so score minus a distance
+                    # penalty to the last confirmed center picks the
+                    # true peak whenever it exists.
+                    last = self._last_center.get(class_id)
+
+                    def penalized(sb, _last=last):
+                        score, box = sb
+                        if _last is None:
+                            return score
+                        d = abs(box[0] - _last[0]) + abs(box[1] - _last[1])
+                        return score - max(0.0, d - self.track_slack) * self.track_weight
+
+                    for score, box in sorted(cands, key=penalized, reverse=True):
+                        crop = YoloCrop(*box, confidence=score, class_id=class_id)
+                        ok, crop_img = crop.square_crop(
+                            img, self.crop_size, padding=self.crop_padding
+                        )
+                        if not ok:
+                            # Keep the label-implies-crop invariant the
+                            # AIRunner cleanup relies on (a label with no
+                            # jpg defeats gap interpolation and crashes
+                            # recognition).
+                            continue
+                        self._last_center[class_id] = (box[0], box[1])
+                        lines.append(str(crop))
+                        fighter = self.char_list[class_id]
+                        fdir = os.path.join(crops_dir, fighter)
+                        os.makedirs(fdir, exist_ok=True)
+                        cv2.imwrite(
+                            os.path.join(fdir, f"{video_name}_{frame_idx + 1}.jpg"),
+                            crop_img,
+                        )
+                        break
                 if lines:
                     with open(label_path, "w") as f:
                         f.write("\n".join(lines) + "\n")

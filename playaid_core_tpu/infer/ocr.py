@@ -70,17 +70,46 @@ def segment_digit_components(bgr_crop, threshold=128, min_area=12):
     gray = bgr_crop.max(axis=2).astype(np.uint8)
     gray = cv2.resize(gray, (256, int(256 * gray.shape[0] / max(gray.shape[1], 1))))
     binary = (gray > threshold).astype(np.uint8)
+    # Video codecs quantize thin strokes to pieces: a glyph then arrives
+    # as several connected components, each fragment reads as an extra
+    # digit and the height-drop decimal heuristic fires early ("143.1"
+    # -> "14.0631").  A morphological close re-bridges 1-2 px stroke
+    # gaps before labeling.
+    binary = cv2.morphologyEx(binary, cv2.MORPH_CLOSE, np.ones((3, 3), np.uint8))
     num, labels, stats, _ = cv2.connectedComponentsWithStats(binary)
-    comps = []
+    raw = []
     for i in range(1, num):
         x, y, w, h, area = stats[i]
         if area < min_area:
             continue
-        mask = (labels[y : y + h, x : x + w] == i).astype(np.float32)
+        raw.append({"x": int(x), "y": int(y), "w": int(w), "h": int(h), "id": i})
+    raw.sort(key=lambda c: c["x"])
+    # Merge fragments whose x-extents overlap a neighbor's: digits are
+    # laid out left-to-right without horizontal overlap, so overlapping
+    # boxes are pieces of one glyph the close couldn't bridge.
+    merged = []
+    for c in raw:
+        if merged:
+            m = merged[-1]
+            overlap = min(m["x"] + m["w"], c["x"] + c["w"]) - max(m["x"], c["x"])
+            # Distinct digits never overlap horizontally (kerning survives
+            # the close), so any >=2 px overlap marks a fragment.
+            if overlap >= 2 or overlap > 0.3 * min(m["w"], c["w"]):
+                x0 = min(m["x"], c["x"])
+                y0 = min(m["y"], c["y"])
+                x1 = max(m["x"] + m["w"], c["x"] + c["w"])
+                y1 = max(m["y"] + m["h"], c["y"] + c["h"])
+                m.update(x=x0, y=y0, w=x1 - x0, h=y1 - y0)
+                m["ids"] = m.get("ids", [m["id"]]) + [c["id"]]
+                continue
+        merged.append(c)
+    comps = []
+    for c in merged:
+        x, y, w, h = c["x"], c["y"], c["w"], c["h"]
+        ids = c.get("ids", [c["id"]])
+        mask = np.isin(labels[y : y + h, x : x + w], ids).astype(np.float32)
         patch = gray[y : y + h, x : x + w].astype(np.float32) * mask
-        comps.append({"x": int(x), "y": int(y), "w": int(w), "h": int(h),
-                      "mask": mask, "patch": patch})
-    comps.sort(key=lambda c: c["x"])
+        comps.append({"x": x, "y": y, "w": w, "h": h, "mask": mask, "patch": patch})
     return comps, gray
 
 

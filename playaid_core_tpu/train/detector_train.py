@@ -205,6 +205,7 @@ class DetectorTrainer:
     def __init__(self, dataset, num_classes=6, learning_rate=5e-4, input_hw=(256, 448),
                  dtype=jnp.float32, weight_decay=1e-4):
         self.dataset = dataset
+        self.num_classes = num_classes
         self.model = CenterNetDetector(num_classes=num_classes, dtype=dtype)
         self.input_hw = input_hw
         rng = jax.random.PRNGKey(0)

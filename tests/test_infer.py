@@ -168,3 +168,30 @@ def test_ocr_empty_crop():
     ok, (value, raw, conf, details) = ocr(np.zeros((60, 130, 3), np.uint8))
     assert not ok
     assert value == -1
+
+
+def test_ocr_segmentation_bridges_codec_fragmentation():
+    """Video codecs quantize thin glyph strokes to pieces; each fragment
+    must not read as an extra digit (regression: '143.1' -> '14.0631')."""
+    from PIL import Image, ImageDraw, ImageFont
+
+    from playaid_core_tpu.constants import TEXT_FONT_PATH
+    from playaid_core_tpu.infer.ocr import TemplateDigitOCR, segment_digit_components
+
+    font = ImageFont.truetype(TEXT_FONT_PATH, 40)
+    img = Image.new("RGB", (200, 64), (0, 0, 0))
+    ImageDraw.Draw(img).text((10, 5), "143", font=font, fill=(255, 255, 255))
+    bgr = np.array(img)[:, :, ::-1].copy()
+
+    # Knock out a 2px horizontal stripe through the glyph midline —
+    # the codec-style stroke break that used to split digits into
+    # several connected components.
+    h = bgr.shape[0]
+    bgr[h // 2 : h // 2 + 2, :] = 0
+
+    comps, _ = segment_digit_components(bgr)
+    assert len(comps) == 3, [(c["x"], c["w"], c["h"]) for c in comps]
+
+    ok, (value, raw, conf, details) = TemplateDigitOCR()(bgr)
+    assert ok
+    assert value == 143.0, raw

@@ -75,3 +75,42 @@ def test_jax_detector_feeds_ai_runner(tmp_path, monkeypatch):
     runner.write_output()
     assert os.path.exists(runner.ai_output_file)
     assert runner.ai_output_data["Pikachu"][0].action in runner.actions
+
+
+def test_tracking_prior_rejects_phantom(tmp_path, monkeypatch):
+    """Restricted decoding can re-attribute a disallowed-class peak into
+    a phantom of our class near the other fighter; when it briefly
+    outscores the true peak, the tracking prior must keep the crop on
+    the established track."""
+    monkeypatch.setattr(constants, "AI_CACHE", str(tmp_path / "ai_cache"))
+    video = str(tmp_path / "clip.mp4")
+    w = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"mp4v"), 60, (320, 180))
+    for i in range(6):
+        w.write(np.full((180, 320, 3), 80, np.uint8))
+    w.release()
+
+    class PhantomTrainer:
+        def __init__(self):
+            self.frame = -1
+
+        def detect(self, images_rgb, max_det=4, score_threshold=0.3, classes=None):
+            out = []
+            for _ in range(images_rgb.shape[0]):
+                self.frame += 1
+                cands = [(2, 0.50, (0.3, 0.5, 0.2, 0.3))]
+                if self.frame < 2:
+                    cands.append((3, 0.60, (0.7, 0.5, 0.2, 0.3)))   # true Joker
+                else:
+                    # true Joker dips below a persistent phantom far away
+                    cands.append((3, 0.35, (0.71, 0.51, 0.2, 0.3)))
+                    cands.append((3, 0.45, (0.25, 0.85, 0.2, 0.3)))
+                out.append(cands)
+            return out
+
+    det = JaxCharacterDetector(PhantomTrainer(), batch_size=3)
+    exp = det.run(video, "vids/phantom")
+    base = os.path.join(constants.AI_CACHE, exp)
+    for i in range(3, 7):
+        crops = read_yolo_crops(os.path.join(base, "labels", f"clip_{i}.txt"))
+        joker = [c for c in crops if c.class_id == 3]
+        assert joker and abs(joker[0].center_x - 0.71) < 0.02, (i, crops)
