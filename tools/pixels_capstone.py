@@ -372,7 +372,11 @@ def _heartbeat():
 
         while True:
             try:
-                jnp.zeros((1,)).block_until_ready()
+                # Must be a DATA READBACK: block_until_ready through the
+                # tunnel can ack at dispatch, which does not refresh the
+                # far side's idle timer (r4 wedged after a 10-min
+                # host-only phase despite a block_until_ready heartbeat).
+                float(jnp.zeros((2,)).sum())
             except Exception:
                 pass
             time.sleep(60)
