@@ -161,7 +161,7 @@ def main():
     # manuscript.py:70).  h264 has no fractional-decode lowres — the
     # decoder clamps it — so this measures the full-res h264 decode path.
     # The fixture is transcoded once with the native libx264 encoder.
-    h264_fps = h264_stride1_fps = None
+    h264_fps = h264_stride1_fps = h264_fast_fps = None
     try:
         from playaid_core_tpu.video import native_encoder
 
@@ -181,7 +181,17 @@ def main():
                             host_resize=True, lowres=lowres, stride=1),
                 h264_path, boxes,
             )
-            log(f"h264 fps: {h264_fps:.1f} (stride=1: {h264_stride1_fps:.1f})")
+            # h264's reduced-cost decode mode (no fractional lowres):
+            # skip the in-loop deblocking filter.  Pixel-validated close
+            # to exact decode (tests/test_native_decoder.py).
+            h264_fast_fps = median_fps(
+                VodAnalyzer(pipe, window=384, padding=30, chunk=chunk,
+                            host_resize=True, lowres=lowres, stride=stride,
+                            fast_decode=True),
+                h264_path, boxes,
+            )
+            log(f"h264 fps: {h264_fps:.1f} (stride=1: {h264_stride1_fps:.1f}, "
+                f"fast-decode: {h264_fast_fps:.1f})")
     except Exception as e:  # noqa: BLE001
         log(f"h264 measurement skipped: {e}")
 
@@ -222,6 +232,7 @@ def main():
         "stride1_fps": stride1_fps,
         "h264_fps": h264_fps,
         "h264_stride1_fps": h264_stride1_fps,
+        "h264_fast_fps": h264_fast_fps,
         **multivod,
         "device_only_crops_per_sec": round(device_cps),
         "device_only_fps_2fighters": round(device_cps / 2),

@@ -50,6 +50,7 @@ struct Decoder {
   SwsContext* sws = nullptr;  // cached via sws_getCachedContext
   int stream_index = -1;
   int lowres = 0;
+  int fast = 0;
   // Full-resolution (container) dims; crop geometry is computed in these
   // coordinates so lowres decode yields the same boxes.
   int full_w = 0, full_h = 0;
@@ -99,8 +100,15 @@ int next_frame(Decoder* d) {
 
 extern "C" {
 
-void* vd_open(const char* path, int lowres) {
+// fast != 0 trades bit-exactness for decode speed on codecs with an
+// in-loop deblocking filter (h264 most notably — which has no fractional
+// lowres, so this is its only reduced-cost decode mode): skips the loop
+// filter and enables the codec's non-spec-compliant speedups.  The model
+// consumes 128px-resampled crops, so the pixel deltas are sub-visible
+// there; label agreement vs the exact path is validated by tests.
+void* vd_open_ex(const char* path, int lowres, int fast) {
   Decoder* d = new Decoder();
+  d->fast = fast;
   if (avformat_open_input(&d->fmt, path, nullptr, nullptr) < 0) {
     delete d;
     return nullptr;
@@ -122,6 +130,10 @@ void* vd_open(const char* path, int lowres) {
     // Fractional decode where the codec supports it (mpeg4: max_lowres 3).
     d->lowres = std::min(lowres, (int)dec->max_lowres);
     if (d->lowres > 0) d->codec->lowres = d->lowres;
+    if (d->fast) {
+      d->codec->skip_loop_filter = AVDISCARD_ALL;
+      d->codec->flags2 |= AV_CODEC_FLAG2_FAST;
+    }
     if (avcodec_open2(d->codec, dec, nullptr) < 0) goto fail;
     AVRational fr = d->stream->avg_frame_rate;
     if (fr.num <= 0 || fr.den <= 0) fr = d->stream->r_frame_rate;
@@ -144,6 +156,10 @@ fail:
   if (d->pkt) av_packet_free(&d->pkt);
   delete d;
   return nullptr;
+}
+
+void* vd_open(const char* path, int lowres) {
+  return vd_open_ex(path, lowres, 0);
 }
 
 int vd_full_width(void* h) { return ((Decoder*)h)->full_w; }

@@ -180,7 +180,9 @@ class BatchedActionPipeline:
             lambda v, crops: self.embed.apply(v, crops)
         )
         self._head_jit = jax.jit(self._head_apply)
-        self._classify_jit = jax.jit(self._classify_impl, static_argnames=("min_frame",))
+        self._classify_jit = jax.jit(
+            self._classify_impl, static_argnames=("min_frame", "smooth_radius")
+        )
         self._embed_windows_jit = jax.jit(self._embed_windows_impl)
         self._embed_crops_u8_jit = jax.jit(self._embed_crops_u8_impl)
         self._embed_crops_yuv_jit = jax.jit(self._embed_crops_yuv_impl)
@@ -189,7 +191,8 @@ class BatchedActionPipeline:
         )
         self._scatter_jit = jax.jit(self._scatter_impl, donate_argnums=0)
         self._classify_buffer_jit = jax.jit(
-            self._classify_buffer_impl, static_argnames=("min_frame",)
+            self._classify_buffer_impl,
+            static_argnames=("min_frame", "smooth_radius"),
         )
 
     def _head_apply(self, variables, windows):
@@ -317,7 +320,35 @@ class BatchedActionPipeline:
         donated, so accumulation is in-place on device."""
         return self._scatter_jit(buf, emb_chunk, row_offset)
 
-    def _two_fighter_tail(self, head_vars, per_fighter, true_len, min_frame):
+    @staticmethod
+    def _smooth_log_probs(log_probs, true_len, radius):
+        """Mean per-frame log-probs over frames [i-radius, i+radius]
+        clamped to the true sequence — joint (geometric-mean) evidence
+        over a temporal neighborhood.
+
+        Actions persist for many frames while any single middle-out
+        window sees only a fraction of a move's animation cycle, so
+        per-window argmax is noisy exactly where move cycles share
+        sub-windows (aerials, movement).  Pooling the window posteriors
+        over a neighborhood disambiguates from the rest of the cycle.
+        The reference classified each window independently
+        (ai_runner.py:466-520)."""
+        f = log_probs.shape[0]
+        mask = (jnp.arange(f) < true_len)[:, None]
+        lp = jnp.where(mask, log_probs, 0.0)
+        csum = jnp.concatenate(
+            [jnp.zeros((1, lp.shape[1]), lp.dtype), jnp.cumsum(lp, axis=0)],
+            axis=0,
+        )
+        i = jnp.arange(f)
+        lo = jnp.maximum(i - radius, 0)
+        hi = jnp.minimum(i + radius, jnp.maximum(true_len - 1, 0))
+        summed = jnp.take(csum, hi + 1, axis=0) - jnp.take(csum, lo, axis=0)
+        count = jnp.maximum(hi + 1 - lo, 1).astype(lp.dtype)
+        return summed / count[:, None]
+
+    def _two_fighter_tail(self, head_vars, per_fighter, true_len, min_frame,
+                          smooth_radius=0):
         """Shared classification tail: middle-out windows over an
         interleaved [F, 2, D] embedding sequence -> (labels [F, 2],
         confidence [F, 2]).  ``true_len`` clamps windows so padding rows
@@ -332,21 +363,34 @@ class BatchedActionPipeline:
             f * 2, self.sequence_length, -1
         )
         log_probs = self._head_apply(head_vars, windows)  # [F*2, A]
+        if smooth_radius:
+            lp = log_probs.reshape(f, 2, -1)
+            lp = jnp.stack(
+                [self._smooth_log_probs(lp[:, k], true_len, smooth_radius)
+                 for k in range(2)],
+                axis=1,
+            )
+            log_probs = lp.reshape(f * 2, -1)
         labels = jnp.argmax(log_probs, axis=-1).reshape(f, 2)
         conf = (jnp.exp(jnp.max(log_probs, axis=-1)) * 100.0).reshape(f, 2)
         return labels, conf
 
-    def _classify_buffer_impl(self, head_vars, buf, true_len, min_frame):
+    def _classify_buffer_impl(self, head_vars, buf, true_len, min_frame,
+                              smooth_radius=0):
         per_fighter = buf.reshape(buf.shape[0] // 2, 2, -1).astype(jnp.float32)
-        return self._two_fighter_tail(head_vars, per_fighter, true_len, min_frame)
+        return self._two_fighter_tail(head_vars, per_fighter, true_len, min_frame,
+                                      smooth_radius=smooth_radius)
 
-    def classify_buffer(self, variables, buf, true_len, min_frame=0):
+    def classify_buffer(self, variables, buf, true_len, min_frame=0,
+                        smooth_radius=0):
         labels, conf = self._classify_buffer_jit(
-            variables["head"], buf, true_len, min_frame=min_frame
+            variables["head"], buf, true_len, min_frame=min_frame,
+            smooth_radius=smooth_radius,
         )
         return labels[:true_len], conf[:true_len]
 
-    def classify_sequence(self, variables, embeddings, min_frame=0, pad_bucket=4096):
+    def classify_sequence(self, variables, embeddings, min_frame=0, pad_bucket=4096,
+                          smooth_radius=0):
         """embeddings [F, D] for consecutive frames -> per-frame
         (labels [F], confidence [F]) using middle-out windows.
 
@@ -354,6 +398,9 @@ class BatchedActionPipeline:
         shares one compiled program regardless of VOD length (remote
         compiles are expensive); windows are built against the true length
         so padding never leaks into real frames' windows.
+
+        ``smooth_radius`` > 0 pools the per-window log-posteriors over
+        [i-r, i+r] before the argmax (see _smooth_log_probs).
         """
         f = embeddings.shape[0]
         if pad_bucket:
@@ -361,11 +408,13 @@ class BatchedActionPipeline:
             if padded != f:
                 embeddings = jnp.pad(embeddings, ((0, padded - f), (0, 0)))
         labels, conf = self._classify_jit(
-            variables["head"], embeddings, f, min_frame=min_frame
+            variables["head"], embeddings, f, min_frame=min_frame,
+            smooth_radius=smooth_radius,
         )
         return labels[:f], conf[:f]
 
-    def _classify_impl(self, head_vars, embeddings, true_len, min_frame):
+    def _classify_impl(self, head_vars, embeddings, true_len, min_frame,
+                       smooth_radius=0):
         f = embeddings.shape[0]
         idx = middle_out_frame_indices(
             jnp.arange(f), self.sequence_length, self.frame_delta,
@@ -373,6 +422,8 @@ class BatchedActionPipeline:
         )  # [F, T] clamped to the true length
         windows = jnp.take(embeddings, idx, axis=0)  # [F, T, D]
         log_probs = self._head_apply(head_vars, windows)
+        if smooth_radius:
+            log_probs = self._smooth_log_probs(log_probs, true_len, smooth_radius)
         labels = jnp.argmax(log_probs, axis=-1)
         conf = jnp.exp(jnp.max(log_probs, axis=-1)) * 100.0
         return labels, conf

@@ -60,6 +60,7 @@ class AIRunner:
         max_center_jump=0.08,
         fix_swaps=False,
         appearance_check=True,
+        smooth_radius=0,
         **dataset_args,
     ):
         # crop_padding: square_crop padding for re-cropped (interpolated)
@@ -100,6 +101,12 @@ class AIRunner:
         # continuity can't see); stands down automatically when the two
         # fighters' appearances aren't separable.
         self.appearance_check = appearance_check
+        # smooth_radius: pool window log-posteriors over [i-r, i+r] frames
+        # before the per-frame argmax (BatchedActionPipeline._smooth_log_probs).
+        # Actions persist for many frames; any one middle-out window sees
+        # only part of the animation cycle.  When > 0 the unsmoothed
+        # per-window prediction is preserved as ``action_raw``.
+        self.smooth_radius = smooth_radius
         self.detector = detector or ExternalYoloDetector()
         res, self.ai_output_data = self.load_ai_output()
 
@@ -622,10 +629,17 @@ class AIRunner:
             # 3) classify all windows at once (min_frame=1 in crop-file space
             #    -> index 0 of the embedding sequence).
             labels, conf = self.pipeline.classify_sequence(
-                self.variables, embeddings, min_frame=0
+                self.variables, embeddings, min_frame=0,
+                smooth_radius=self.smooth_radius,
             )
             labels = np.asarray(labels)
             conf = np.asarray(conf)
+            raw_labels = None
+            if self.smooth_radius:
+                raw, _ = self.pipeline.classify_sequence(
+                    self.variables, embeddings, min_frame=0
+                )
+                raw_labels = np.asarray(raw)
 
             last_crop = None
             for pos, frame_num in enumerate(frame_nums):
@@ -640,6 +654,8 @@ class AIRunner:
                     frame_data.crop = str(crop)
                 frame_data.action = self.actions[int(labels[pos])]
                 frame_data.predicted_action_confidence = float(conf[pos])
+                if raw_labels is not None:
+                    frame_data.action_raw = self.actions[int(raw_labels[pos])]
 
     # ------------------------------------------------------------------
     # Damage OCR (reference: ai_runner.py:522-590)

@@ -224,7 +224,8 @@ class NativeChunkDecoder:
     """
 
     def __init__(self, path, num_frames, chunk, boxes, crop_size, padding,
-                 workers=None, ahead=6, lowres=0, stride=1, fmt="bgr"):
+                 workers=None, ahead=6, lowres=0, stride=1, fmt="bgr",
+                 fast=False):
         self.path = path
         self.num_frames = num_frames
         self.chunk = chunk
@@ -234,6 +235,7 @@ class NativeChunkDecoder:
         self.lowres = lowres
         self.stride = stride
         self.fmt = fmt
+        self.fast = fast
         self.num_chunks = (num_frames + chunk - 1) // chunk
         workers = workers or max(1, min((os.cpu_count() or 1), 6))
         self.workers_n = min(workers, self.num_chunks)
@@ -267,7 +269,7 @@ class NativeChunkDecoder:
     def _worker_loop(self):
         from playaid_core_tpu.video.native_decoder import NativeVideoDecoder
 
-        dec = NativeVideoDecoder(self.path, lowres=self.lowres)
+        dec = NativeVideoDecoder(self.path, lowres=self.lowres, fast=self.fast)
         k = self.boxes.shape[1]
         try:
             while True:
@@ -341,7 +343,7 @@ class VodAnalyzer:
     def __init__(self, pipeline: BatchedActionPipeline | None = None, variables=None,
                  window=384, padding=30, chunk=48, decode_workers=None,
                  host_resize=True, mesh=None, decode_backend="auto", lowres=0,
-                 stride=1, transfer_format="auto"):
+                 stride=1, transfer_format="auto", fast_decode=False):
         self.pipeline = pipeline or BatchedActionPipeline(family="cnn")
         self.variables = variables
         self.window = window
@@ -358,6 +360,10 @@ class VodAnalyzer:
         # the model's 128px input either way; label agreement is validated
         # by tests (tests/test_native_decoder.py).
         self.lowres = lowres
+        # fast_decode: skip the codec's in-loop deblocking filter (native
+        # backend only) — the reduced-cost decode mode for h264, which has
+        # no fractional lowres.  Label agreement validated by tests.
+        self.fast_decode = fast_decode
         # stride: classify every stride-th frame and propagate its label to
         # the frames in between (the reference's own GT videos are 30 fps
         # against a 60 fps log — reference: dataset_utils.py:94 — so
@@ -491,7 +497,7 @@ class VodAnalyzer:
             decoder = NativeChunkDecoder(
                 video_path, f_total, self.chunk, boxes, crop_size, self.padding,
                 workers=self.decode_workers, lowres=self.lowres, stride=stride,
-                fmt=fmt,
+                fmt=fmt, fast=self.fast_decode,
             )
         else:
             decoder = BoundedSegmentDecoder(

@@ -57,6 +57,8 @@ def get_library():
         lib = ctypes.CDLL(_build_library())
         lib.vd_open.restype = ctypes.c_void_p
         lib.vd_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.vd_open_ex.restype = ctypes.c_void_p
+        lib.vd_open_ex.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
         lib.vd_full_width.restype = ctypes.c_int
         lib.vd_full_width.argtypes = [ctypes.c_void_p]
         lib.vd_full_height.restype = ctypes.c_int
@@ -94,12 +96,17 @@ class NativeVideoDecoder:
     (reference: fighter.py:323-381) so labels agree with the cv2 path.
     """
 
-    def __init__(self, path, lowres=0):
+    def __init__(self, path, lowres=0, fast=False):
+        # fast: skip the codec's in-loop deblocking filter + enable
+        # non-spec-compliant speedups (AV_CODEC_FLAG2_FAST).  The honest
+        # reduced-cost mode for h264, which has no fractional lowres;
+        # pixel deltas are sub-visible after the 128px crop resample and
+        # label agreement is test-validated (test_native_decoder).
         lib = get_library()
         if lib is None:
             raise RuntimeError("native video decoder unavailable")
         self._lib = lib
-        self._h = lib.vd_open(path.encode(), int(lowres))
+        self._h = lib.vd_open_ex(path.encode(), int(lowres), int(bool(fast)))
         if not self._h:
             raise RuntimeError(f"could not open video: {path}")
 

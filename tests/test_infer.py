@@ -65,6 +65,57 @@ def test_classify_matches_per_window_head(cnn_pipe):
         assert int(np.argmax(np.asarray(logp))) == int(labels[frame])
 
 
+def test_classify_smoothing_pools_evidence(cnn_pipe):
+    """smooth_radius pools window log-posteriors over a neighborhood:
+    the smoothed labels equal the argmax of the numpy mean of per-frame
+    log-probs over the clamped window, and padding never leaks in."""
+    from playaid_core_tpu.ops.preprocess import middle_out_frame_indices
+
+    pipe, variables = cnn_pipe
+    f, r = 14, 3
+    seq = jax.random.normal(KEY, (f, 1000))
+
+    idx = np.asarray(middle_out_frame_indices(jnp.arange(f), 5, 2, f))
+    logp = np.asarray(
+        pipe._head_jit(variables["head"], jnp.asarray(seq)[idx])
+    )  # [F, A]
+    expect = []
+    for i in range(f):
+        lo, hi = max(i - r, 0), min(i + r, f - 1)
+        expect.append(int(np.argmax(logp[lo : hi + 1].mean(axis=0))))
+
+    labels, conf = pipe.classify_sequence(
+        variables, seq, pad_bucket=16, smooth_radius=r
+    )
+    np.testing.assert_array_equal(np.asarray(labels), expect)
+
+    # pad-bucket invariance holds under smoothing too
+    l2, _ = pipe.classify_sequence(variables, seq, pad_bucket=64, smooth_radius=r)
+    np.testing.assert_array_equal(np.asarray(labels), np.asarray(l2))
+
+    # smooth_radius=0 stays the raw per-window path
+    raw, _ = pipe.classify_sequence(variables, seq, pad_bucket=16)
+    np.testing.assert_array_equal(
+        np.asarray(raw), np.argmax(logp, axis=-1)
+    )
+
+
+def test_classify_buffer_smoothing_matches_sequence(cnn_pipe):
+    pipe, variables = cnn_pipe
+    f, r = 9, 2
+    emb = jax.random.normal(KEY, (f, 2, 1000))
+    buf = pipe.make_embedding_buffer(f)
+    buf = pipe.scatter_embeddings(
+        buf, jnp.asarray(np.asarray(emb).reshape(f * 2, 1000)), 0
+    )
+    labels, _ = pipe.classify_buffer(variables, buf, f, smooth_radius=r)
+    for k in range(2):
+        l_ref, _ = pipe.classify_sequence(
+            variables, emb[:, k, :], pad_bucket=16, smooth_radius=r
+        )
+        np.testing.assert_array_equal(np.asarray(labels)[:, k], np.asarray(l_ref))
+
+
 def test_epilogue_matches_classify_sequence(cnn_pipe):
     pipe, variables = cnn_pipe
     chunk = 4

@@ -200,6 +200,30 @@ def test_mjpg_full_range_source(tmp_path):
     assert d2.mean() < 5.0, d2.mean()
 
 
+def test_h264_fast_decode_close_to_exact(video, tmp_path):
+    """fast=True (skip in-loop deblocking + FAST flag) on an h264 stream —
+    h264's reduced-cost decode mode, since it has no fractional lowres —
+    must stay pixel-close to the spec-exact decode after the 128px crop
+    resample."""
+    from playaid_core_tpu.video import native_encoder
+
+    if not native_encoder.available():
+        pytest.skip("native h264 encoder unavailable")
+    path, boxes = video
+    h264 = str(tmp_path / "clip_h264.mp4")
+    native_encoder.transcode(path, h264, crf=20)
+
+    with native_decoder.NativeVideoDecoder(h264) as dec:
+        n_exact, exact = dec.decode_crops(0, boxes, 128, 30)
+    with native_decoder.NativeVideoDecoder(h264, fast=True) as dec:
+        n_fast, fast = dec.decode_crops(0, boxes, 128, 30)
+    assert n_exact == n_fast == boxes.shape[0]
+    diff = np.abs(exact.astype(np.int16) - fast.astype(np.int16))
+    # Deblocking deltas are sub-visible at crop scale; content identical.
+    assert diff.mean() < 2.0, diff.mean()
+    assert np.median(diff) == 0
+
+
 class TestVodAnalyzerNative:
     @pytest.fixture(scope="class")
     def pipeline(self):
