@@ -182,6 +182,10 @@ class TrainerConfig:
     tensorboard_dir: Optional[str] = None
     # Cosine-decay horizon in steps (None = constant LR after warmup)
     lr_decay_steps: Optional[int] = None
+    # Linear LR warmup steps.  0 disables — required for tiny training
+    # budgets (e.g. in-test fixtures of < a few hundred steps, which would
+    # otherwise spend their whole budget inside the ramp).
+    warmup_steps: int = 200
     dtype: Any = jnp.float32
 
 
@@ -219,6 +223,7 @@ class Trainer:
         sample = jnp.zeros((1, t, s, s, 3), jnp.float32)
         self.state = create_train_state(
             self.model, rng, sample, self.config.learning_rate,
+            warmup_steps=self.config.warmup_steps,
             decay_steps=self.config.lr_decay_steps,
         )
         # Place params on the mesh: TP rules for the model axis, replicate

@@ -59,7 +59,11 @@ def trained(tmp_path_factory):
     config = TrainerConfig(family="cnn", num_actions=len(ACTIONS),
                            sequence_length=3, batch_size=8,
                            learning_rate=2e-3, num_samples=192, crop_size=64,
-                           curriculum_threshold=1.1)
+                           curriculum_threshold=1.1,
+                           # 48-step budget: the default 200-step warmup
+                           # would keep the whole run inside the LR ramp
+                           # and leave labels on decision boundaries.
+                           warmup_steps=0)
     trainer = Trainer(config, ds)
     trainer.init_state()
     trainer.fit(num_epochs=2, steps_per_epoch=24)

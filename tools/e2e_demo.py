@@ -147,6 +147,8 @@ def run_demo(workdir, num_epochs=6, steps_per_epoch=24, batch_size=16, crop_size
         # full-range hue shift removes that cue and collapses accuracy, so
         # pin the difficulty for this demonstration.
         curriculum_threshold=1.1,
+        # ~144-step budget sits inside the default 200-step LR warmup ramp.
+        warmup_steps=0,
     )
     trainer = Trainer(config, dataset)
     trainer.init_state()

@@ -430,7 +430,8 @@ def _heartbeat():
 
 
 def analyze_match(video_path, pair, det_trainer, pipe, split_vars, workdir,
-                  gt, damage=True, crop_padding=16, smooth_radius=16):
+                  gt, damage=True, crop_padding=16, smooth_radius=16,
+                  overwrite=False):
     """Full pixels path on one eval video: detector -> crops cache ->
     cleanup -> batched action recognition -> damage OCR -> score."""
     import jax  # noqa: F401  (keeps device context warm)
@@ -460,7 +461,7 @@ def analyze_match(video_path, pair, det_trainer, pipe, split_vars, workdir,
     )
     runner.actions = ACTIONS
     runner.run_detection_setup()
-    runner.run_action_recognition()
+    runner.run_action_recognition(overwrite=overwrite)
     if damage:
         runner.run_damage_detection()
     runner.write_output()
