@@ -137,7 +137,8 @@ def _load_sprite_rgba(frame_path):
 
 
 def load_and_composite_sprite(frame_path, stage_crop, synth_difficulty, rng,
-                              fill=1.0, center_jitter=0):
+                              fill=1.0, center_jitter=0, aug_rng=None,
+                              extra_shift=(0, 0)):
     """Paste an (augmented) RGBA sprite mostly-centered onto a stage crop
     (reference: ult_action_dataset.py:97-136).
 
@@ -149,13 +150,24 @@ def load_and_composite_sprite(frame_path, stage_crop, synth_difficulty, rng,
     difficulty pipeline: detector-predicted boxes center imperfectly, and
     a model trained on exactly-centered sprites is brittle to those
     shifts.
+
+    ``aug_rng``: when the caller assembles a temporal window, pass a
+    same-seeded rng for every frame of the clip so the difficulty
+    pipeline's draws (hue, brightness, crop geometry, paste offset) are
+    CONSISTENT across the window — a deployed window has one appearance,
+    one framing, and smooth motion; independently-drawn per-frame
+    augmentation buries the pose-motion signal under appearance flicker
+    and teleport jitter (this capped the round-3 capstone's ResFormer at
+    ~0.80 train acc).  ``extra_shift`` adds the caller's small per-frame
+    drift on top of the per-clip base offset.
     """
     stage_crop = stage_crop.copy()
     width, height = stage_crop.size
     char_frame = _load_sprite_rgba(frame_path)
+    draw = aug_rng if aug_rng is not None else rng
     if synth_difficulty:
         char_frame = augment_synth_char_crop(
-            char_frame, rng=rng, **SYNTH_DIFFICULTY_SPRITE[synth_difficulty]
+            char_frame, rng=draw, **SYNTH_DIFFICULTY_SPRITE[synth_difficulty]
         )
     if char_frame.shape[0] > char_frame.shape[1]:
         char_frame = aspect_resize(char_frame, height=max(int(height * fill), 1))
@@ -166,12 +178,18 @@ def load_and_composite_sprite(frame_path, stage_crop, synth_difficulty, rng,
     paste_x = (stage_crop.width - char_img.width) // 2
     paste_y = (stage_crop.height - char_img.height) // 2
     if synth_difficulty:
-        paste_x += int(rng.integers(-40, 41))
-        paste_y += int(rng.integers(-40, 41))
+        # Detector box-center error is correlated across a window's
+        # frames: a per-clip base offset (bounded by center_jitter when
+        # the caller calibrated one) models it; the old unconditional
+        # +/-40 px per-frame draw does not happen at deployment.
+        lim = center_jitter if center_jitter else 40
+        paste_x += int(draw.integers(-lim, lim + 1))
+        paste_y += int(draw.integers(-lim, lim + 1))
     elif center_jitter:
-        paste_x += int(rng.integers(-center_jitter, center_jitter + 1))
-        paste_y += int(rng.integers(-center_jitter, center_jitter + 1))
-    stage_crop.paste(char_img, (paste_x, paste_y), char_img)
+        paste_x += int(draw.integers(-center_jitter, center_jitter + 1))
+        paste_y += int(draw.integers(-center_jitter, center_jitter + 1))
+    stage_crop.paste(char_img, (paste_x + extra_shift[0],
+                                paste_y + extra_shift[1]), char_img)
     return stage_crop
 
 
@@ -411,6 +429,11 @@ class UltActionRecogDataset:
         fill_lo, fill_hi = self.synth_sprite_fill
         degrade_clip = self.synth_frame_degrade and rng.random() < self.synth_frame_degrade
         jpeg_q = int(rng.integers(40, 92)) if degrade_clip else None
+        # One augmentation draw per CLIP: every frame re-seeds an identical
+        # rng, so hue/brightness/geometry/paste-offset are consistent
+        # across the window (see load_and_composite_sprite).  Small
+        # per-frame drift rides on top from the main stream.
+        aug_seed = int(rng.integers(2**31))
         for frame_path in clip_paths:
             if self.randomize_stage_background:
                 stage_path = rng.choice(self.stage_paths)
@@ -428,6 +451,8 @@ class UltActionRecogDataset:
             frame = load_and_composite_sprite(
                 frame_path, stage_cropped, self.synth_difficulty, rng, fill=fill,
                 center_jitter=self.synth_center_jitter,
+                aug_rng=np.random.default_rng(aug_seed),
+                extra_shift=(int(rng.integers(-3, 4)), int(rng.integers(-3, 4))),
             )
             arr = np.array(frame)
             if degrade_clip:
