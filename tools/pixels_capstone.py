@@ -470,7 +470,8 @@ def analyze_match(video_path, pair, det_trainer, pipe, split_vars, workdir,
 
 def run_capstone(workdir, det_steps=8000, det_composites=2400, act_epochs=100,
                  act_steps=64, eval_frames=1800, eval_pairs=3,
-                 small_eval=True, act_batch=16, verbose=True):
+                 small_eval=True, act_batch=16, verbose=True,
+                 reuse_detector=None):
     import jax
     import jax.numpy as jnp
 
@@ -511,30 +512,46 @@ def run_capstone(workdir, det_steps=8000, det_composites=2400, act_epochs=100,
                    kind=train_kinds[i % len(train_kinds)])
 
     # --- detector -------------------------------------------------------
-    print("generating detection composites...")
-    generate_stage_char_compositions(
-        "train", det_composites, seed=0,
-        output_root=os.path.join(workdir, "composites"),
-        stages_dir=stages, clean_char_dir=clean,
-        char_list=list(constants.CHAR_LIST),
-        # identity_safe: sprite identity is color-coded, full-range hue
-        # rotation makes the class head unlearnable (round-3 diagnosis:
-        # loc 96% / loc+class 12% on eval video).  degrade: mpeg4-decoded
-        # eval frames are soft; pristine-JPEG-only training collapses
-        # heatmap confidence 0.9 -> 0.2 on video frames.
-        augment=True, identity_safe=True, degrade=0.3,
-    )
-    det_ds = DetectionDataset(
-        os.path.join(workdir, "composites", "train"), input_hw=(256, 448),
-        num_classes=len(constants.CHAR_LIST), seed=0,
-        # per-draw photometric + geometric jitter: finite pools with
-        # baked-in augmentation are memorized by the class head
-        sample_augment=True,
-    )
-    print("training detector...")
-    det_trainer = DetectorTrainer(det_ds, num_classes=len(constants.CHAR_LIST),
-                                  input_hw=(256, 448), dtype=jnp.bfloat16)
-    det_trainer.fit(det_steps, batch_size=8, log_every=200, verbose=verbose)
+    if reuse_detector:
+        # Iterating on the action model / inference side: load the
+        # detector trained by a previous capstone run (its trained_states
+        # pickle) instead of spending ~1h retraining an unchanged stage.
+        import pickle as _pickle
+
+        with open(reuse_detector, "rb") as f:
+            _prev = _pickle.load(f)
+        det_trainer = DetectorTrainer(None, num_classes=len(constants.CHAR_LIST),
+                                      input_hw=(256, 448), dtype=jnp.bfloat16)
+        det_trainer.state = det_trainer.state.replace(
+            params=jax.device_put(_prev["detector"]["params"]),
+            batch_stats=jax.device_put(_prev["detector"]["batch_stats"]),
+        )
+        print(f"reusing detector from {reuse_detector}")
+    else:
+        print("generating detection composites...")
+        generate_stage_char_compositions(
+            "train", det_composites, seed=0,
+            output_root=os.path.join(workdir, "composites"),
+            stages_dir=stages, clean_char_dir=clean,
+            char_list=list(constants.CHAR_LIST),
+            # identity_safe: sprite identity is color-coded, full-range hue
+            # rotation makes the class head unlearnable (round-3 diagnosis:
+            # loc 96% / loc+class 12% on eval video).  degrade: mpeg4-decoded
+            # eval frames are soft; pristine-JPEG-only training collapses
+            # heatmap confidence 0.9 -> 0.2 on video frames.
+            augment=True, identity_safe=True, degrade=0.3,
+        )
+        det_ds = DetectionDataset(
+            os.path.join(workdir, "composites", "train"), input_hw=(256, 448),
+            num_classes=len(constants.CHAR_LIST), seed=0,
+            # per-draw photometric + geometric jitter: finite pools with
+            # baked-in augmentation are memorized by the class head
+            sample_augment=True,
+        )
+        print("training detector...")
+        det_trainer = DetectorTrainer(det_ds, num_classes=len(constants.CHAR_LIST),
+                                      input_hw=(256, 448), dtype=jnp.bfloat16)
+        det_trainer.fit(det_steps, batch_size=8, log_every=200, verbose=verbose)
 
     # --- flagship action model (ResFormer T=7 delta=3 128px) ------------
     action_ds = UltActionRecogDataset(
@@ -604,7 +621,15 @@ def run_capstone(workdir, det_steps=8000, det_composites=2400, act_epochs=100,
         }, f)
 
     # --- held-out eval matches -----------------------------------------
-    constants.AI_CACHE = os.path.join(workdir, "ai_cache")
+    # Fresh detection cache per run unless the detector is reused (cached
+    # crops are only valid for the detector that produced them); cached
+    # action labels are always recomputed (overwrite=True below).
+    cache = os.path.join(workdir, "ai_cache")
+    n_cache = 0
+    while os.path.isdir(cache) and not reuse_detector:
+        cache = os.path.join(workdir, f"ai_cache_{n_cache}")
+        n_cache += 1
+    constants.AI_CACHE = cache
     eval_stage = make_stage(os.path.join(workdir, "eval_stage.jpg"),
                             seed=991, kind="bands")
     match_scores = []
@@ -614,10 +639,13 @@ def run_capstone(workdir, det_steps=8000, det_composites=2400, act_epochs=100,
         gt = make_eval_video(video_path, pair, num_frames=eval_frames,
                              seed=2000 + m, stage_path=eval_stage)
         s = analyze_match(video_path, pair, det_trainer, pipe, split_vars,
-                          workdir, gt)
+                          workdir, gt, overwrite=True)
         s["pair"] = list(pair)
-        print(f"  det {s['det_rate']:.2%}  act {s['act_rate']:.2%}  "
+        print(f"  det {s['det_rate']:.2%}  act {s['act_rate']:.2%} "
+              f"(raw {s['act_rate_raw']:.2%}, interior {s['act_rate_interior']:.2%}, "
+              f"boundary {s['act_rate_boundary']:.2%})  "
               f"damage {s['damage_acc']:.2%}")
+        print(f"  top confusions: {s['top_confusions']}")
         match_scores.append(s)
 
     # --- far-zoom small-sprite eval (hard case for small boxes) ---------
@@ -630,7 +658,8 @@ def run_capstone(workdir, det_steps=8000, det_composites=2400, act_epochs=100,
                              sprite_px=(40, 64), seed=3000,
                              stage_path=eval_stage)
         small_score = analyze_match(video_path, pair, det_trainer, pipe,
-                                    split_vars, workdir, gt, damage=False)
+                                    split_vars, workdir, gt, damage=False,
+                                    overwrite=True)
         small_score["pair"] = list(pair)
         print(f"  det {small_score['det_rate']:.2%}  "
               f"act {small_score['act_rate']:.2%}")
@@ -699,6 +728,7 @@ def main():
         eval_frames=int(os.environ.get("EVAL_FRAMES", "1800")),
         eval_pairs=int(os.environ.get("EVAL_PAIRS", "3")),
         small_eval=os.environ.get("SMALL_EVAL", "1") == "1",
+        reuse_detector=os.environ.get("REUSE_DET") or None,
     )
 
 
