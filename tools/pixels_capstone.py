@@ -446,6 +446,7 @@ def analyze_match(video_path, pair, det_trainer, pipe, split_vars, workdir,
         detector=JaxCharacterDetector(
             det_trainer, score_threshold=0.05, crop_size=128,
             crop_padding=crop_padding, batch_size=24, classes=classes,
+            track_weight=float(os.environ.get("TRACK_WEIGHT", "1.0")),
         ),
         pipeline=pipe,
         variables=split_vars,
@@ -459,37 +460,28 @@ def analyze_match(video_path, pair, det_trainer, pipe, split_vars, workdir,
         # per-window agreement is still scored (act_rate_raw).
         smooth_radius=smooth_radius,
     )
+    def _rss():
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return line.split()[1]
+        return "?"
+
     runner.actions = ACTIONS
     runner.run_detection_setup()
+    print(f"  [detection done, rss {_rss()} kB]", flush=True)
     runner.run_action_recognition(overwrite=overwrite)
+    print(f"  [recognition done, rss {_rss()} kB]", flush=True)
     if damage:
         runner.run_damage_detection()
+        print(f"  [damage done, rss {_rss()} kB]", flush=True)
     runner.write_output()
     return score_run(runner, pair, gt)
 
 
-def run_capstone(workdir, det_steps=8000, det_composites=2400, act_epochs=100,
-                 act_steps=64, eval_frames=1800, eval_pairs=3,
-                 small_eval=True, act_batch=16, verbose=True,
-                 reuse_detector=None):
-    import jax
-    import jax.numpy as jnp
-
-    from playaid_core_tpu import constants
-    from playaid_core_tpu.datagen.gen_synth_char_detection import (
-        generate_stage_char_compositions,
-    )
-    from playaid_core_tpu.infer.pipeline import BatchedActionPipeline
-    from playaid_core_tpu.train.dataset import UltActionRecogDataset
-    from playaid_core_tpu.train.detector_train import DetectionDataset, DetectorTrainer
-    from playaid_core_tpu.train.train import Trainer, TrainerConfig
-
-    _warm_tunnel()
-    _heartbeat()
-    t0 = time.time()
+def phase_assets(workdir):
+    """Skeletal sprite sets + stage textures (idempotent)."""
     fighters = list(sk.FIGHTER_STYLES)
-
-    # --- assets: skeletal sprite sets + stages --------------------------
     clean = os.path.join(workdir, "clean")
     stages = os.path.join(workdir, "stages")
     os.makedirs(stages, exist_ok=True)
@@ -510,50 +502,72 @@ def run_capstone(workdir, det_steps=8000, det_composites=2400, act_epochs=100,
     for i in range(8):
         make_stage(os.path.join(stages, f"train_{i}.jpg"), seed=i,
                    kind=train_kinds[i % len(train_kinds)])
+    return clean, stages
 
-    # --- detector -------------------------------------------------------
-    if reuse_detector:
-        # Iterating on the action model / inference side: load the
-        # detector trained by a previous capstone run (its trained_states
-        # pickle) instead of spending ~1h retraining an unchanged stage.
-        import pickle as _pickle
 
-        with open(reuse_detector, "rb") as f:
-            _prev = _pickle.load(f)
-        det_trainer = DetectorTrainer(None, num_classes=len(constants.CHAR_LIST),
-                                      input_hw=(256, 448), dtype=jnp.bfloat16)
-        det_trainer.state = det_trainer.state.replace(
-            params=jax.device_put(_prev["detector"]["params"]),
-            batch_stats=jax.device_put(_prev["detector"]["batch_stats"]),
-        )
-        print(f"reusing detector from {reuse_detector}")
-    else:
-        print("generating detection composites...")
-        generate_stage_char_compositions(
-            "train", det_composites, seed=0,
-            output_root=os.path.join(workdir, "composites"),
-            stages_dir=stages, clean_char_dir=clean,
-            char_list=list(constants.CHAR_LIST),
-            # identity_safe: sprite identity is color-coded, full-range hue
-            # rotation makes the class head unlearnable (round-3 diagnosis:
-            # loc 96% / loc+class 12% on eval video).  degrade: mpeg4-decoded
-            # eval frames are soft; pristine-JPEG-only training collapses
-            # heatmap confidence 0.9 -> 0.2 on video frames.
-            augment=True, identity_safe=True, degrade=0.3,
-        )
-        det_ds = DetectionDataset(
-            os.path.join(workdir, "composites", "train"), input_hw=(256, 448),
-            num_classes=len(constants.CHAR_LIST), seed=0,
-            # per-draw photometric + geometric jitter: finite pools with
-            # baked-in augmentation are memorized by the class head
-            sample_augment=True,
-        )
-        print("training detector...")
-        det_trainer = DetectorTrainer(det_ds, num_classes=len(constants.CHAR_LIST),
-                                      input_hw=(256, 448), dtype=jnp.bfloat16)
-        det_trainer.fit(det_steps, batch_size=8, log_every=200, verbose=verbose)
+def phase_detector(workdir, det_steps, det_composites, verbose=True):
+    """Train the 6-class CenterNet detector; save detector_state.pkl."""
+    import pickle
 
-    # --- flagship action model (ResFormer T=7 delta=3 128px) ------------
+    import jax
+    import jax.numpy as jnp
+
+    from playaid_core_tpu import constants
+    from playaid_core_tpu.datagen.gen_synth_char_detection import (
+        generate_stage_char_compositions,
+    )
+    from playaid_core_tpu.train.detector_train import DetectionDataset, DetectorTrainer
+
+    _warm_tunnel()
+    _heartbeat()
+    clean, stages = phase_assets(workdir)
+    print("generating detection composites...")
+    generate_stage_char_compositions(
+        "train", det_composites, seed=0,
+        output_root=os.path.join(workdir, "composites"),
+        stages_dir=stages, clean_char_dir=clean,
+        char_list=list(constants.CHAR_LIST),
+        # identity_safe: sprite identity is color-coded, full-range hue
+        # rotation makes the class head unlearnable (round-3 diagnosis:
+        # loc 96% / loc+class 12% on eval video).  degrade: mpeg4-decoded
+        # eval frames are soft; pristine-JPEG-only training collapses
+        # heatmap confidence 0.9 -> 0.2 on video frames.
+        augment=True, identity_safe=True, degrade=0.3,
+    )
+    det_ds = DetectionDataset(
+        os.path.join(workdir, "composites", "train"), input_hw=(256, 448),
+        num_classes=len(constants.CHAR_LIST), seed=0,
+        # per-draw photometric + geometric jitter: finite pools with
+        # baked-in augmentation are memorized by the class head
+        sample_augment=True,
+    )
+    print("training detector...")
+    det_trainer = DetectorTrainer(det_ds, num_classes=len(constants.CHAR_LIST),
+                                  input_hw=(256, 448), dtype=jnp.bfloat16)
+    det_trainer.fit(det_steps, batch_size=8, log_every=200, verbose=verbose)
+    with open(os.path.join(workdir, "detector_state.pkl"), "wb") as f:
+        pickle.dump(jax.device_get({
+            "params": det_trainer.state.params,
+            "batch_stats": det_trainer.state.batch_stats,
+        }), f)
+    print("detector saved")
+
+
+def phase_action(workdir, act_epochs, act_steps, act_batch):
+    """Train the flagship ResFormer (T=7, delta=3, 128px); save
+    action_state.pkl."""
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+
+    from playaid_core_tpu.train.dataset import UltActionRecogDataset
+    from playaid_core_tpu.train.train import Trainer, TrainerConfig
+
+    _warm_tunnel()
+    _heartbeat()
+    clean, stages = phase_assets(workdir)
+    fighters = list(sk.FIGHTER_STYLES)
     action_ds = UltActionRecogDataset(
         split="synth", num_samples=act_steps * act_batch, img_dimension=128,
         anim_subset=ACTIONS, num_frames_per_sample=7, frame_delta=[3],
@@ -590,29 +604,61 @@ def run_capstone(workdir, det_steps=8000, det_composites=2400, act_epochs=100,
     act_trainer.fit(num_epochs=act_epochs, steps_per_epoch=act_steps)
     accs = [round(r["train_acc"], 3) for r in act_trainer.metrics_log]
     print("action train acc:", accs[-10:])
+    with open(os.path.join(workdir, "action_state.pkl"), "wb") as f:
+        pickle.dump({
+            "params": jax.device_get(act_trainer.state.params),
+            "batch_stats": jax.device_get(act_trainer.state.batch_stats),
+            "train_accs": accs,
+        }, f)
+    print("action model saved")
+
+
+def phase_eval(workdir, det_steps, det_composites, act_epochs, act_steps,
+               eval_frames, eval_pairs, small_eval, reuse_detector=None):
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+
+    from playaid_core_tpu import constants
+    from playaid_core_tpu.infer.pipeline import BatchedActionPipeline
+    from playaid_core_tpu.train.detector_train import DetectorTrainer
+
+    _warm_tunnel()
+    _heartbeat()
+    t0 = time.time()
+    fighters = list(sk.FIGHTER_STYLES)
+
+    det_src = reuse_detector or os.path.join(workdir, "detector_state.pkl")
+    with open(det_src, "rb") as f:
+        det_payload = pickle.load(f)
+    if "detector" in det_payload:  # a combined trained_states.pkl
+        det_payload = det_payload["detector"]
+    det_trainer = DetectorTrainer(None, num_classes=len(constants.CHAR_LIST),
+                                  input_hw=(256, 448), dtype=jnp.bfloat16)
+    det_trainer.state = det_trainer.state.replace(
+        params=jax.device_put(det_payload["params"]),
+        batch_stats=jax.device_put(det_payload["batch_stats"]),
+    )
+    with open(os.path.join(workdir, "action_state.pkl"), "rb") as f:
+        act_payload = pickle.load(f)
+    accs = act_payload.get("train_accs", [])
 
     pipe = BatchedActionPipeline(
         family="resformer", num_actions=len(ACTIONS), sequence_length=7,
         frame_delta=3, crop_size=128,
     )
     split_vars = pipe.from_monolithic({
-        "params": jax.device_get(act_trainer.state.params),
-        "batch_stats": jax.device_get(act_trainer.state.batch_stats),
+        "params": act_payload["params"],
+        "batch_stats": act_payload["batch_stats"],
     })
 
-    # persist trained states for post-hoc diagnosis / reuse
-    import pickle
-
+    # combined pickle for post-hoc tooling (tools/rescore_capstone.py)
     with open(os.path.join(workdir, "trained_states.pkl"), "wb") as f:
         pickle.dump({
-            "action": jax.device_get({
-                "params": act_trainer.state.params,
-                "batch_stats": act_trainer.state.batch_stats,
-            }),
-            "detector": jax.device_get({
-                "params": det_trainer.state.params,
-                "batch_stats": det_trainer.state.batch_stats,
-            }),
+            "action": {"params": act_payload["params"],
+                       "batch_stats": act_payload["batch_stats"]},
+            "detector": det_payload,
             "meta": {
                 "family": "resformer", "num_actions": len(ACTIONS),
                 "sequence_length": 7, "frame_delta": 3, "crop_size": 128,
@@ -621,14 +667,25 @@ def run_capstone(workdir, det_steps=8000, det_composites=2400, act_epochs=100,
         }, f)
 
     # --- held-out eval matches -----------------------------------------
-    # Fresh detection cache per run unless the detector is reused (cached
-    # crops are only valid for the detector that produced them); cached
-    # action labels are always recomputed (overwrite=True below).
+    # Cached detections are only valid for the detector that produced
+    # them: tag each cache dir with the detector pickle's fingerprint and
+    # rotate to a fresh dir when it changed.  Cached action labels are
+    # always recomputed (overwrite=True below).
+    import hashlib
+
+    with open(det_src, "rb") as f:
+        det_tag = hashlib.md5(f.read(1 << 20)).hexdigest()[:12]
     cache = os.path.join(workdir, "ai_cache")
     n_cache = 0
-    while os.path.isdir(cache) and not reuse_detector:
+    while os.path.isdir(cache):
+        marker = os.path.join(cache, "detector.tag")
+        if os.path.exists(marker) and open(marker).read() == det_tag:
+            break
         cache = os.path.join(workdir, f"ai_cache_{n_cache}")
         n_cache += 1
+    os.makedirs(cache, exist_ok=True)
+    with open(os.path.join(cache, "detector.tag"), "w") as f:
+        f.write(det_tag)
     constants.AI_CACHE = cache
     eval_stage = make_stage(os.path.join(workdir, "eval_stage.jpg"),
                             seed=991, kind="bands")
@@ -713,23 +770,75 @@ def run_capstone(workdir, det_steps=8000, det_composites=2400, act_epochs=100,
     return record
 
 
+def run_capstone(workdir):
+    """Orchestrate the three heavy phases as SUBPROCESSES.
+
+    The tunneled TPU client leaks every host->device transfer's host
+    bytes for the life of the process (measured ~5.4 MB per training
+    batch regardless of deletion/gc — see docs/STATUS.md), so a full
+    in-process run accumulates >100 GB across detector + action training
+    and OOMs mid-eval (round-3 r5).  Per-phase processes bound the leak
+    to one phase's transfer volume (<~30 GB) and release it at exit.
+
+    Completed phases are skipped when their state pickle already exists,
+    so a crashed run resumes where it stopped (delete the pickle to force
+    retrain).
+    """
+    import subprocess
+
+    reuse_det = os.environ.get("REUSE_DET") or None
+    phases = []
+    if not reuse_det and not os.path.exists(
+            os.path.join(workdir, "detector_state.pkl")):
+        phases.append("detector")
+    if not os.path.exists(os.path.join(workdir, "action_state.pkl")):
+        phases.append("action")
+    phases.append("eval")
+    print(f"phases to run: {phases}")
+    for phase in phases:
+        print(f"=== phase {phase} ===", flush=True)
+        r = subprocess.run(
+            [sys.executable, "-u", os.path.abspath(__file__), workdir,
+             "--phase", phase],
+            env=os.environ.copy(),
+        )
+        if r.returncode != 0:
+            raise RuntimeError(f"phase {phase} failed with code {r.returncode}")
+
+
 def main():
     import tempfile
 
-    workdir = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(
-        prefix="pixels_capstone_")
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    workdir = args[0] if args else tempfile.mkdtemp(prefix="pixels_capstone_")
     os.makedirs(workdir, exist_ok=True)
-    run_capstone(
-        workdir,
-        det_steps=int(os.environ.get("DET_STEPS", "8000")),
-        det_composites=int(os.environ.get("DET_COMPOSITES", "1200")),
-        act_epochs=int(os.environ.get("ACT_EPOCHS", "100")),
-        act_steps=int(os.environ.get("ACT_STEPS", "64")),
-        eval_frames=int(os.environ.get("EVAL_FRAMES", "1800")),
-        eval_pairs=int(os.environ.get("EVAL_PAIRS", "3")),
-        small_eval=os.environ.get("SMALL_EVAL", "1") == "1",
-        reuse_detector=os.environ.get("REUSE_DET") or None,
-    )
+    phase = None
+    if "--phase" in sys.argv:
+        phase = sys.argv[sys.argv.index("--phase") + 1]
+
+    env = os.environ.get
+    det_steps = int(env("DET_STEPS", "8000"))
+    det_composites = int(env("DET_COMPOSITES", "2400"))
+    act_epochs = int(env("ACT_EPOCHS", "100"))
+    act_steps = int(env("ACT_STEPS", "64"))
+    act_batch = int(env("ACT_BATCH", "16"))
+
+    if phase is None:
+        run_capstone(workdir)
+    elif phase == "detector":
+        phase_detector(workdir, det_steps, det_composites)
+    elif phase == "action":
+        phase_action(workdir, act_epochs, act_steps, act_batch)
+    elif phase == "eval":
+        phase_eval(
+            workdir, det_steps, det_composites, act_epochs, act_steps,
+            eval_frames=int(env("EVAL_FRAMES", "1800")),
+            eval_pairs=int(env("EVAL_PAIRS", "3")),
+            small_eval=env("SMALL_EVAL", "1") == "1",
+            reuse_detector=env("REUSE_DET") or None,
+        )
+    else:
+        raise SystemExit(f"unknown phase {phase}")
 
 
 if __name__ == "__main__":
