@@ -111,7 +111,7 @@ class JaxCharacterDetector:
 
     def __init__(self, trainer, char_list=None, score_threshold=0.3, max_det=4,
                  crop_size=128, crop_padding=30, batch_size=16, classes=None,
-                 track_weight=1.0, track_slack=0.08):
+                 track_weight=0.0, track_slack=0.08):
         self.trainer = trainer
         self.char_list = char_list or constants.CHAR_LIST
         self.score_threshold = score_threshold
@@ -121,7 +121,14 @@ class JaxCharacterDetector:
         self.batch_size = batch_size
         # Tracking prior (normalized-coordinate L1): candidates farther
         # than ``track_slack`` from the class's last confirmed center pay
-        # ``track_weight`` per unit distance.  0 disables.
+        # ``track_weight`` per unit distance.  0 disables — and is the
+        # DEFAULT: measured on the round-3 capstone eval, weight 1.0 cost
+        # 24 points of detection rate (95.4% -> 71.8%) because a prior
+        # seeded by one wrong peak locks onto it (positive feedback),
+        # while the phantom problem it targeted is already handled
+        # downstream by AIRunner's identity-continuity and appearance
+        # filters.  Keep it opt-in for streams with known teleporting
+        # double-detections.
         self.track_weight = track_weight
         self.track_slack = track_slack
         self._last_center = {}

@@ -446,7 +446,7 @@ def analyze_match(video_path, pair, det_trainer, pipe, split_vars, workdir,
         detector=JaxCharacterDetector(
             det_trainer, score_threshold=0.05, crop_size=128,
             crop_padding=crop_padding, batch_size=24, classes=classes,
-            track_weight=float(os.environ.get("TRACK_WEIGHT", "1.0")),
+            track_weight=float(os.environ.get("TRACK_WEIGHT", "0.0")),
         ),
         pipeline=pipe,
         variables=split_vars,
