@@ -330,6 +330,65 @@ def test_appearance_identity_filter(tmp_path, monkeypatch):
     assert abs(crop16.reshape(-1, 3).mean(axis=0)[1] - PIKA_COLOR[1]) < 30
 
 
+def test_appearance_filter_stands_down_on_confusable_fighters(tmp_path,
+                                                              monkeypatch):
+    """Ditto-like matches: when the two fighters' appearances are NOT
+    separable (near-identical palettes — two Pikachus, color-twin skins),
+    the appearance filter must stand down rather than churn crops on
+    histogram noise.  Round-2 verdict flagged that the filter was only
+    ever exercised on maximally-distinguishable sprites."""
+    d = tmp_path
+    video = d / "clip.mp4"
+    w = cv2.VideoWriter(str(video), cv2.VideoWriter_fourcc(*"mp4v"), 60, (320, 180))
+    for i in range(25):
+        w.write(np.full((180, 320, 3), 60, np.uint8))
+    w.release()
+    monkeypatch.setattr(constants, "AI_CACHE", str(d / "ai_cache"))
+
+    # Two near-identical palettes: every channel lands in the same 64-wide
+    # histogram bin, so the median signatures are not separable.
+    COLOR_A = (45, 215, 215)
+    COLOR_B = (55, 205, 205)
+
+    class DittoDetector(FakeDetector):
+        def run(self, input_video_path, exp_name):
+            out = super().run(input_video_path, exp_name)
+            base = os.path.join(constants.AI_CACHE, exp_name, "crops")
+            video_name = os.path.splitext(os.path.basename(input_video_path))[0]
+            rng = np.random.default_rng(1)
+            for fighter, color in (("Pikachu", COLOR_A), ("Joker", COLOR_B)):
+                for i in range(1, self.num_frames + 1):
+                    p = os.path.join(base, fighter, f"{video_name}_{i}.jpg")
+                    if not os.path.exists(p):
+                        continue
+                    img = np.full((128, 128, 3), color, np.int16)
+                    img += rng.integers(-4, 5, img.shape, dtype=np.int16)
+                    cv2.imwrite(p, np.clip(img, 0, 255).astype(np.uint8))
+            return out
+
+    pipe = BatchedActionPipeline(family="cnn", num_actions=8, sequence_length=3,
+                                 frame_delta=1, crop_size=32)
+    runner = AIRunner(input_video_path=str(video), detector=DittoDetector(20),
+                      pipeline=pipe)
+    runner.run_detection_setup()
+    from playaid_core_tpu.infer.detection import read_fighter_yolo_crop
+
+    # No detector-produced crop was rejected and refilled from the (gray)
+    # video: every non-gap frame keeps its colored content, and labels
+    # keep the original trajectories.
+    for fighter, color in (("Pikachu", COLOR_A), ("Joker", COLOR_B)):
+        for i in (4, 6, 12, 15):
+            crop = cv2.imread(runner.get_crop_path(fighter, i))
+            assert crop is not None, (fighter, i)
+            mean = crop.reshape(-1, 3).mean(axis=0)
+            assert abs(mean[2] - color[2]) < 20, (fighter, i, mean)
+            got = read_fighter_yolo_crop(runner.get_label_path(i), fighter)
+            expected = 0.3 + 0.02 * i if fighter == "Pikachu" else 0.7 - 0.02 * i
+            assert got is not None and abs(got.center_x - expected) < 0.03, (
+                fighter, i, got and got.center_x,
+            )
+
+
 def test_center_jump_reanchors_on_stable_teleport(tmp_path, monkeypatch):
     """A persistent position change (KO respawn) re-anchors instead of
     being rejected forever."""
