@@ -181,7 +181,8 @@ class BatchedActionPipeline:
         )
         self._head_jit = jax.jit(self._head_apply)
         self._classify_jit = jax.jit(
-            self._classify_impl, static_argnames=("min_frame", "smooth_radius")
+            self._classify_impl,
+            static_argnames=("min_frame", "smooth_radius", "decode"),
         )
         self._embed_windows_jit = jax.jit(self._embed_windows_impl)
         self._embed_crops_u8_jit = jax.jit(self._embed_crops_u8_impl)
@@ -192,7 +193,7 @@ class BatchedActionPipeline:
         self._scatter_jit = jax.jit(self._scatter_impl, donate_argnums=0)
         self._classify_buffer_jit = jax.jit(
             self._classify_buffer_impl,
-            static_argnames=("min_frame", "smooth_radius"),
+            static_argnames=("min_frame", "smooth_radius", "decode"),
         )
 
     def _head_apply(self, variables, windows):
@@ -347,8 +348,47 @@ class BatchedActionPipeline:
         count = jnp.maximum(hi + 1 - lo, 1).astype(lp.dtype)
         return summed / count[:, None]
 
+    @staticmethod
+    def _viterbi_decode(log_probs, true_len, switch_cost):
+        """MAP label path under a uniform switching penalty (Potts prior).
+
+        Boxcar pooling (``_smooth_log_probs``) blurs move boundaries by up
+        to the pooling radius; Viterbi keeps the persistence prior (moves
+        last many frames — a switch costs ``switch_cost`` nats) while
+        letting the transition land exactly where the per-window evidence
+        changes.  switch_cost ~ log(expected move duration in frames);
+        4.0 matches ~55-frame moves.  Rows at/after ``true_len`` are
+        frozen out of the recursion (the caller slices them off).
+        """
+        f, a = log_probs.shape
+        valid = jnp.arange(f) < true_len
+        lp = jnp.where(valid[:, None], log_probs, 0.0)
+        if f == 1:
+            return jnp.argmax(lp[0])[None]
+        idx = jnp.arange(a)
+
+        def fwd(carry, x):
+            lp_t, v = x
+            switch_from = jnp.argmax(carry)
+            switch_score = carry[switch_from] - switch_cost
+            take_stay = carry >= switch_score
+            best = jnp.where(take_stay, carry, switch_score)
+            ptr = jnp.where(take_stay, idx, switch_from)
+            new = jnp.where(v, lp_t + best, carry)
+            ptr = jnp.where(v, ptr, idx)
+            return new, ptr
+
+        delta_last, ptrs = jax.lax.scan(fwd, lp[0], (lp[1:], valid[1:]))
+        last = jnp.argmax(delta_last)
+
+        def bwd(carry, ptr_t):
+            return ptr_t[carry], carry
+
+        first, tail = jax.lax.scan(bwd, last, ptrs, reverse=True)
+        return jnp.concatenate([first[None], tail])
+
     def _two_fighter_tail(self, head_vars, per_fighter, true_len, min_frame,
-                          smooth_radius=0):
+                          smooth_radius=0, decode="argmax", switch_cost=4.0):
         """Shared classification tail: middle-out windows over an
         interleaved [F, 2, D] embedding sequence -> (labels [F, 2],
         confidence [F, 2]).  ``true_len`` clamps windows so padding rows
@@ -371,26 +411,39 @@ class BatchedActionPipeline:
                 axis=1,
             )
             log_probs = lp.reshape(f * 2, -1)
-        labels = jnp.argmax(log_probs, axis=-1).reshape(f, 2)
-        conf = (jnp.exp(jnp.max(log_probs, axis=-1)) * 100.0).reshape(f, 2)
+        if decode == "viterbi":
+            lp = log_probs.reshape(f, 2, -1)
+            labels = jnp.stack(
+                [self._viterbi_decode(lp[:, k], true_len, switch_cost)
+                 for k in range(2)],
+                axis=1,
+            )
+            conf = jnp.exp(jnp.take_along_axis(
+                lp, labels[:, :, None], axis=2
+            ))[:, :, 0] * 100.0
+        else:
+            labels = jnp.argmax(log_probs, axis=-1).reshape(f, 2)
+            conf = (jnp.exp(jnp.max(log_probs, axis=-1)) * 100.0).reshape(f, 2)
         return labels, conf
 
     def _classify_buffer_impl(self, head_vars, buf, true_len, min_frame,
-                              smooth_radius=0):
+                              smooth_radius=0, decode="argmax", switch_cost=4.0):
         per_fighter = buf.reshape(buf.shape[0] // 2, 2, -1).astype(jnp.float32)
         return self._two_fighter_tail(head_vars, per_fighter, true_len, min_frame,
-                                      smooth_radius=smooth_radius)
+                                      smooth_radius=smooth_radius, decode=decode,
+                                      switch_cost=switch_cost)
 
     def classify_buffer(self, variables, buf, true_len, min_frame=0,
-                        smooth_radius=0):
+                        smooth_radius=0, decode="argmax", switch_cost=4.0):
         labels, conf = self._classify_buffer_jit(
             variables["head"], buf, true_len, min_frame=min_frame,
-            smooth_radius=smooth_radius,
+            smooth_radius=smooth_radius, decode=decode,
+            switch_cost=switch_cost,
         )
         return labels[:true_len], conf[:true_len]
 
     def classify_sequence(self, variables, embeddings, min_frame=0, pad_bucket=4096,
-                          smooth_radius=0):
+                          smooth_radius=0, decode="argmax", switch_cost=4.0):
         """embeddings [F, D] for consecutive frames -> per-frame
         (labels [F], confidence [F]) using middle-out windows.
 
@@ -400,7 +453,10 @@ class BatchedActionPipeline:
         so padding never leaks into real frames' windows.
 
         ``smooth_radius`` > 0 pools the per-window log-posteriors over
-        [i-r, i+r] before the argmax (see _smooth_log_probs).
+        [i-r, i+r] before decoding (see _smooth_log_probs).
+        ``decode="viterbi"`` decodes the MAP label path under a
+        ``switch_cost``-nat switching penalty (see _viterbi_decode)
+        instead of the per-frame argmax; both compose.
         """
         f = embeddings.shape[0]
         if pad_bucket:
@@ -409,12 +465,13 @@ class BatchedActionPipeline:
                 embeddings = jnp.pad(embeddings, ((0, padded - f), (0, 0)))
         labels, conf = self._classify_jit(
             variables["head"], embeddings, f, min_frame=min_frame,
-            smooth_radius=smooth_radius,
+            smooth_radius=smooth_radius, decode=decode,
+            switch_cost=switch_cost,
         )
         return labels[:f], conf[:f]
 
     def _classify_impl(self, head_vars, embeddings, true_len, min_frame,
-                       smooth_radius=0):
+                       smooth_radius=0, decode="argmax", switch_cost=4.0):
         f = embeddings.shape[0]
         idx = middle_out_frame_indices(
             jnp.arange(f), self.sequence_length, self.frame_delta,
@@ -424,8 +481,14 @@ class BatchedActionPipeline:
         log_probs = self._head_apply(head_vars, windows)
         if smooth_radius:
             log_probs = self._smooth_log_probs(log_probs, true_len, smooth_radius)
-        labels = jnp.argmax(log_probs, axis=-1)
-        conf = jnp.exp(jnp.max(log_probs, axis=-1)) * 100.0
+        if decode == "viterbi":
+            labels = self._viterbi_decode(log_probs, true_len, switch_cost)
+            conf = jnp.exp(jnp.take_along_axis(
+                log_probs, labels[:, None], axis=1
+            ))[:, 0] * 100.0
+        else:
+            labels = jnp.argmax(log_probs, axis=-1)
+            conf = jnp.exp(jnp.max(log_probs, axis=-1)) * 100.0
         return labels, conf
 
     def preprocess_frames(self, frames_u8, boxes, padding=30, use_pallas=None):

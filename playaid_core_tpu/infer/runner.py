@@ -61,6 +61,8 @@ class AIRunner:
         fix_swaps=False,
         appearance_check=True,
         smooth_radius=0,
+        decode="argmax",
+        switch_cost=4.0,
         **dataset_args,
     ):
         # crop_padding: square_crop padding for re-cropped (interpolated)
@@ -107,6 +109,12 @@ class AIRunner:
         # only part of the animation cycle.  When > 0 the unsmoothed
         # per-window prediction is preserved as ``action_raw``.
         self.smooth_radius = smooth_radius
+        # decode: "argmax" (per-frame) or "viterbi" (MAP path under a
+        # switch_cost-nat move-switching penalty); composes with
+        # smooth_radius.  Viterbi keeps the persistence prior without
+        # blurring move boundaries by the pooling radius.
+        self.decode = decode
+        self.switch_cost = switch_cost
         self.detector = detector or ExternalYoloDetector()
         res, self.ai_output_data = self.load_ai_output()
 
@@ -630,12 +638,13 @@ class AIRunner:
             #    -> index 0 of the embedding sequence).
             labels, conf = self.pipeline.classify_sequence(
                 self.variables, embeddings, min_frame=0,
-                smooth_radius=self.smooth_radius,
+                smooth_radius=self.smooth_radius, decode=self.decode,
+                switch_cost=self.switch_cost,
             )
             labels = np.asarray(labels)
             conf = np.asarray(conf)
             raw_labels = None
-            if self.smooth_radius:
+            if self.smooth_radius or self.decode != "argmax":
                 raw, _ = self.pipeline.classify_sequence(
                     self.variables, embeddings, min_frame=0
                 )

@@ -431,7 +431,7 @@ def _heartbeat():
 
 def analyze_match(video_path, pair, det_trainer, pipe, split_vars, workdir,
                   gt, damage=True, crop_padding=16, smooth_radius=16,
-                  overwrite=False):
+                  decode="argmax", switch_cost=4.0, overwrite=False):
     """Full pixels path on one eval video: detector -> crops cache ->
     cleanup -> batched action recognition -> damage OCR -> score."""
     import jax  # noqa: F401  (keeps device context warm)
@@ -459,6 +459,8 @@ def analyze_match(video_path, pair, det_trainer, pipe, split_vars, workdir,
         # sub-windows; pooling reads the rest of the cycle.  The raw
         # per-window agreement is still scored (act_rate_raw).
         smooth_radius=smooth_radius,
+        decode=decode,
+        switch_cost=switch_cost,
     )
     def _rss():
         with open("/proc/self/status") as f:

@@ -66,6 +66,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("workdir")
     ap.add_argument("--smooth-radius", type=int, default=16)
+    ap.add_argument("--decode", choices=("argmax", "viterbi"), default="argmax")
+    ap.add_argument("--switch-cost", type=float, default=4.0)
     ap.add_argument("--pairs", type=int, default=3)
     ap.add_argument("--frames", type=int, default=1800)
     ap.add_argument("--small", action="store_true")
@@ -100,6 +102,7 @@ def main():
                                  seed=2000 + m, stage_path=eval_stage)
         s = cap.analyze_match(video_path, pair, det_trainer, pipe, split_vars,
                               workdir, gt, smooth_radius=args.smooth_radius,
+                              decode=args.decode, switch_cost=args.switch_cost,
                               overwrite=True)
         s["pair"] = list(pair)
         print(f"match {m} {pair}: det {s['det_rate']:.2%} "
@@ -119,7 +122,9 @@ def main():
                                  stage_path=eval_stage)
         s = cap.analyze_match(video_path, pair, det_trainer, pipe, split_vars,
                               workdir, gt, damage=False,
-                              smooth_radius=args.smooth_radius, overwrite=True)
+                              smooth_radius=args.smooth_radius,
+                              decode=args.decode, switch_cost=args.switch_cost,
+                              overwrite=True)
         print(f"far-zoom: det {s['det_rate']:.2%} act {s['act_rate']:.2%}")
 
     import numpy as np
