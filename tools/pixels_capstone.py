@@ -630,6 +630,11 @@ def phase_eval(workdir, det_steps, det_composites, act_epochs, act_steps,
     _heartbeat()
     t0 = time.time()
     fighters = list(sk.FIGHTER_STYLES)
+    # Label-decode configuration for the official record (rescore_capstone
+    # measures these post-hoc; set them here once a winner is known).
+    smooth_radius = int(os.environ.get("SMOOTH_RADIUS", "16"))
+    decode = os.environ.get("DECODE", "argmax")
+    switch_cost = float(os.environ.get("SWITCH_COST", "4.0"))
 
     det_src = reuse_detector or os.path.join(workdir, "detector_state.pkl")
     with open(det_src, "rb") as f:
@@ -698,7 +703,9 @@ def phase_eval(workdir, det_steps, det_composites, act_epochs, act_steps,
         gt = make_eval_video(video_path, pair, num_frames=eval_frames,
                              seed=2000 + m, stage_path=eval_stage)
         s = analyze_match(video_path, pair, det_trainer, pipe, split_vars,
-                          workdir, gt, overwrite=True)
+                          workdir, gt, smooth_radius=smooth_radius,
+                          decode=decode, switch_cost=switch_cost,
+                          overwrite=True)
         s["pair"] = list(pair)
         print(f"  det {s['det_rate']:.2%}  act {s['act_rate']:.2%} "
               f"(raw {s['act_rate_raw']:.2%}, interior {s['act_rate_interior']:.2%}, "
@@ -718,7 +725,8 @@ def phase_eval(workdir, det_steps, det_composites, act_epochs, act_steps,
                              stage_path=eval_stage)
         small_score = analyze_match(video_path, pair, det_trainer, pipe,
                                     split_vars, workdir, gt, damage=False,
-                                    overwrite=True)
+                                    smooth_radius=smooth_radius, decode=decode,
+                                    switch_cost=switch_cost, overwrite=True)
         small_score["pair"] = list(pair)
         print(f"  det {small_score['det_rate']:.2%}  "
               f"act {small_score['act_rate']:.2%}")
@@ -751,7 +759,9 @@ def phase_eval(workdir, det_steps, det_composites, act_epochs, act_steps,
         "act_rate_raw": round(agg("act_rate_raw"), 4),
         "act_rate_interior": round(agg("act_rate_interior"), 4),
         "act_rate_boundary": round(agg("act_rate_boundary"), 4),
-        "smooth_radius": 16,
+        "smooth_radius": smooth_radius,
+        "decode": decode,
+        "switch_cost": switch_cost if decode == "viterbi" else None,
         "train_acc_last10": accs[-10:],
         "damage_acc": round(agg("damage_acc"), 4),
         "per_move_agreement": {m: round(float(np.mean(v)), 4)
