@@ -220,6 +220,9 @@ class UltActionRecogDataset:
         synth_sprite_fill=(1.0, 1.0),
         synth_center_jitter=0,
         synth_frame_degrade=0.0,
+        synth_window="consecutive",
+        synth_window_delta=1,
+        synth_cycle_repeats=(1, 2),
     ):
         self.split = split
         self.num_samples = num_samples
@@ -234,6 +237,26 @@ class UltActionRecogDataset:
         self.synth_sprite_fill = synth_sprite_fill
         self.synth_center_jitter = synth_center_jitter
         self.synth_frame_degrade = synth_frame_degrade
+        # synth_window: how a T-frame training window is drawn from the
+        # synthetic mini-timeline.
+        #   "consecutive" — T consecutive animation frames (the reference's
+        #     semantics, ult_action_dataset.py:633-638, where a "skip each
+        #     frame" TODO was left commented out).
+        #   "middleout" — the INFERENCE window geometry: quadratic offsets
+        #     synth_window_delta*(mid-i)^2 around a center frame, matching
+        #     middle_out_frame_indices (reference: dataset_utils.py:109-138).
+        #     At inference a frame_delta=3 step over 60 fps video advances a
+        #     16-frame/48-video-frame animation cycle by exactly one
+        #     animation frame, so delta=1 in mini-timeline units reproduces
+        #     the deployed window's temporal geometry; training on
+        #     consecutive frames instead makes the temporal head learn
+        #     motion at 1/3 the deployed rate and a uniform (not quadratic)
+        #     spacing.  synth_cycle_repeats repeats each move's animation
+        #     cycle 1-2x in the mini-timeline, emulating real segments
+        #     where a move persists for multiple cycles.
+        self.synth_window = synth_window
+        self.synth_window_delta = synth_window_delta
+        self.synth_cycle_repeats = synth_cycle_repeats
         self.rng = np.random.default_rng(seed)
 
         self.num_frames_per_sample_options = (
@@ -385,9 +408,15 @@ class UltActionRecogDataset:
             body_types.update(move.keys())
         body_type = rng.choice(sorted(body_types))
 
+        t = self.num_frames_per_sample
+        mid = t // 2
+        max_off = self.synth_window_delta * mid * mid
+        # middleout windows span +/-max_off around an interior center.
+        min_len = (2 * max_off + 1) if self.synth_window == "middleout" else t
+
         mini_frames, mini_actions = [], []
         i = 0
-        while i < 2 or len(mini_frames) < self.num_frames_per_sample:
+        while i < 2 or len(mini_frames) < min_len:
             action = None
             while not action:
                 selected_action = rng.choice(self.animations)
@@ -403,17 +432,33 @@ class UltActionRecogDataset:
             raw_anim = rng.choice(sorted(node[body_type].keys()))
             cam = rng.choice(sorted(node[body_type][raw_anim].keys()))
             animation_frames = node[body_type][raw_anim][cam]
-            mini_frames.extend(animation_frames)
-            mini_actions.extend([action if action in self.animations else "Unknown"]
-                                * len(animation_frames))
+            lo, hi = self.synth_cycle_repeats
+            repeats = (int(rng.integers(lo, hi + 1))
+                       if self.synth_window == "middleout" and hi > lo else 1)
+            label = action if action in self.animations else "Unknown"
+            for _ in range(repeats):
+                mini_frames.extend(animation_frames)
+                mini_actions.extend([label] * len(animation_frames))
             i += 1
 
         num_frames = len(mini_frames)
-        # high is inclusive here: a mini-timeline of exactly T frames is
-        # valid (the reference's randint(T, n-1) crashed on that edge).
-        last_frame = int(rng.integers(self.num_frames_per_sample, num_frames + 1))
-        clip_paths = mini_frames[last_frame - self.num_frames_per_sample : last_frame]
-        clip_actions = mini_actions[last_frame - self.num_frames_per_sample : last_frame]
+        if self.synth_window == "middleout":
+            # Deployed-geometry window: quadratic offsets around an interior
+            # center (edge clamping only ever fires at VIDEO edges at
+            # inference, which interior centers model better than
+            # mini-timeline-edge clamps would).
+            center = int(rng.integers(max_off, num_frames - max_off))
+            offs = [self.synth_window_delta * (mid - j) ** 2 for j in range(t)]
+            idx = [center - offs[j] if j <= mid else center + offs[j]
+                   for j in range(t)]
+            clip_paths = [mini_frames[j] for j in idx]
+            clip_actions = [mini_actions[j] for j in idx]
+        else:
+            # high is inclusive here: a mini-timeline of exactly T frames is
+            # valid (the reference's randint(T, n-1) crashed on that edge).
+            last_frame = int(rng.integers(t, num_frames + 1))
+            clip_paths = mini_frames[last_frame - t : last_frame]
+            clip_actions = mini_actions[last_frame - t : last_frame]
 
         stage_path = rng.choice(self.stage_paths)
         stage = Image.open(stage_path).convert("RGB")

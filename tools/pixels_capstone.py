@@ -583,6 +583,13 @@ def phase_action(workdir, act_epochs, act_steps, act_batch):
         synth_sprite_fill=(0.70, 0.98),
         synth_center_jitter=10,
         synth_frame_degrade=0.5,
+        # Train windows with the DEPLOYED temporal geometry: quadratic
+        # middle-out offsets (delta=1 mini-timeline frame == the eval's
+        # frame_delta=3 over 60fps video at 16 frames/48-frame cycles),
+        # move cycles repeated 1-2x like the eval's 48/96-frame segments.
+        # Consecutive-frame windows (the reference's synth sampling) teach
+        # the head motion at 1/3 the deployed rate with uniform spacing.
+        synth_window=os.environ.get("SYNTH_WINDOW", "middleout"),
         # Start WITH sprite augmentation: difficulty 0 trains on raw
         # sprites, so appearance generalization (held-out variant 17)
         # is never exercised until the curriculum bumps — and a late
