@@ -324,6 +324,7 @@ def score_run(runner, pair, gt, boundary=9):
     int_hits, int_total, bnd_hits, bnd_total = 0, 0, 0, 0
     per_move = {}
     confusion = {}
+    det_miss = {"no_label": 0, "near": 0, "far": 0, "on_other": 0}
     dmg_hits, dmg_total = 0, 0
     bdist = [
         _boundary_distance([gt["labels"][i, k] for i in range(len(gt["labels"]))])
@@ -338,6 +339,22 @@ def score_run(runner, pair, gt, boundary=9):
             if crop is not None and abs(crop.center_x - gt_box[0]) < 0.06 \
                     and abs(crop.center_y - gt_box[1]) < 0.08:
                 det_hits += 1
+            elif crop is None:
+                det_miss["no_label"] += 1
+            else:
+                # Classify the miss: near-threshold center error, a crop
+                # sitting on the OTHER fighter's GT box (identity error),
+                # or far from both (spurious/interp drift).
+                ex = abs(crop.center_x - gt_box[0])
+                ey = abs(crop.center_y - gt_box[1])
+                other = gt["boxes"][i - 1, 1 - k]
+                if abs(crop.center_x - other[0]) < 0.06 and \
+                        abs(crop.center_y - other[1]) < 0.08:
+                    det_miss["on_other"] += 1
+                elif ex < 0.12 and ey < 0.16:
+                    det_miss["near"] += 1
+                else:
+                    det_miss["far"] += 1
             frame_data = runner.ai_output_data[fighter][i - 1]
             pred = frame_data.action
             stats = per_move.setdefault(label, [0, 0])
@@ -366,6 +383,7 @@ def score_run(runner, pair, gt, boundary=9):
     top_confusions = dict(sorted(confusion.items(), key=lambda kv: -kv[1])[:12])
     return {
         "det_rate": det_hits / max(total, 1),
+        "det_miss": det_miss,
         "act_rate": act_hits / max(total, 1),
         "act_rate_raw": raw_hits / max(total, 1),
         "act_rate_interior": int_hits / max(int_total, 1),
@@ -719,6 +737,7 @@ def phase_eval(workdir, det_steps, det_composites, act_epochs, act_steps,
               f"boundary {s['act_rate_boundary']:.2%})  "
               f"damage {s['damage_acc']:.2%}")
         print(f"  top confusions: {s['top_confusions']}")
+        print(f"  det misses: {s['det_miss']}")
         match_scores.append(s)
 
     # --- far-zoom small-sprite eval (hard case for small boxes) ---------
