@@ -266,6 +266,13 @@ class YoloCrop:
         """Square letterboxed crop around the bbox center
         (reference: fighter.py:323-381).
 
+        ``padding`` in pixels (int, the reference's semantics), or as a
+        FRACTION of the box's square dimension when a float in (0, 1) —
+        fractional padding keeps the subject's fill ratio of the output
+        window constant across subject scales (a fixed pixel pad shrinks a
+        40 px far-zoom fighter to ~0.56 of the window while a 150 px one
+        fills ~0.82, a scale gap the classifier then has to absorb).
+
         Returns (ok, crop) where crop is (output_size, output_size, 3).
         """
         (center_x, center_y, crop_width, crop_height) = self.yolo_pixels(
@@ -273,6 +280,8 @@ class YoloCrop:
         )
         square_dim = max(crop_width, crop_height)
         square_half = int(square_dim / 2)
+        if isinstance(padding, float) and 0 < padding < 1:
+            padding = int(round(padding * square_dim))
 
         raw_crop = image[
             max(center_y - square_half - padding, 0) : min(

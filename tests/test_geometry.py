@@ -89,6 +89,39 @@ def test_square_crop_letterbox():
     assert ok and out.shape == (128, 128, 3)
 
 
+def test_square_crop_fractional_padding_scale_invariant_fill():
+    """Float padding in (0,1) pads by a FRACTION of the box's square dim,
+    so the subject's fill ratio of the output window is the same at every
+    subject scale (fixed pixel pads shrink small subjects much more)."""
+    def fill_ratio(box_px):
+        img = np.zeros((720, 1280, 3), np.uint8)
+        x0, y0 = 400, 300
+        img[y0:y0 + box_px, x0:x0 + box_px] = 255
+        crop = YoloCrop((x0 + box_px / 2) / 1280, (y0 + box_px / 2) / 720,
+                        box_px / 1280, box_px / 720)
+        ok, out = crop.square_crop(img, output_size=128, padding=0.125)
+        assert ok
+        cols = (out[:, :, 0].max(axis=0) > 127).sum()
+        return cols / 128.0
+
+    small, large = fill_ratio(40), fill_ratio(160)
+    assert abs(small - large) < 0.06, (small, large)
+    assert 0.7 < small < 0.9, small
+
+    # int padding keeps the reference's pixel semantics: small boxes end
+    # up with much lower fill than large ones.
+    def fill_ratio_px(box_px):
+        img = np.zeros((720, 1280, 3), np.uint8)
+        img[300:300 + box_px, 400:400 + box_px] = 255
+        crop = YoloCrop((400 + box_px / 2) / 1280, (300 + box_px / 2) / 720,
+                        box_px / 1280, box_px / 720)
+        ok, out = crop.square_crop(img, output_size=128, padding=16)
+        assert ok
+        return (out[:, :, 0].max(axis=0) > 127).sum() / 128.0
+
+    assert fill_ratio_px(40) < fill_ratio_px(160) - 0.15
+
+
 def test_from_pixel_coordinates():
     c = YoloCrop.from_pixel_coordinates(1280, 720, 100, 50, 300, 50, 100, 250, 300, 250)
     assert np.isclose(c.center_x, 200 / 1280)

@@ -448,7 +448,7 @@ def _heartbeat():
 
 
 def analyze_match(video_path, pair, det_trainer, pipe, split_vars, workdir,
-                  gt, damage=True, crop_padding=16, smooth_radius=16,
+                  gt, damage=True, crop_padding=None, smooth_radius=16,
                   decode="argmax", switch_cost=4.0, overwrite=False):
     """Full pixels path on one eval video: detector -> crops cache ->
     cleanup -> batched action recognition -> damage OCR -> score."""
@@ -458,6 +458,14 @@ def analyze_match(video_path, pair, det_trainer, pipe, split_vars, workdir,
     from playaid_core_tpu.infer.detection import JaxCharacterDetector
     from playaid_core_tpu.infer.runner import AIRunner
 
+    if crop_padding is None:
+        # Fractional padding (fraction of the box's square dim): subject
+        # fill of the crop window is scale-invariant at 1/(1+2*0.125)=0.80
+        # — inside the training fill range (0.70, 0.98) at EVERY sprite
+        # scale.  The round-3 fixed 16 px pad left 40-64 px far-zoom
+        # sprites at ~0.56-0.67 fill, outside everything training showed.
+        raw = os.environ.get("CROP_PAD", "0.125")
+        crop_padding = float(raw) if "." in raw else int(raw)
     classes = {constants.CHAR_LIST.index(f) for f in pair}
     runner = AIRunner(
         input_video_path=video_path,
@@ -788,6 +796,8 @@ def phase_eval(workdir, det_steps, det_composites, act_epochs, act_steps,
         "smooth_radius": smooth_radius,
         "decode": decode,
         "switch_cost": switch_cost if decode == "viterbi" else None,
+        "crop_padding": os.environ.get("CROP_PAD", "0.125"),
+        "synth_window": os.environ.get("SYNTH_WINDOW", "middleout"),
         "train_acc_last10": accs[-10:],
         "damage_acc": round(agg("damage_acc"), 4),
         "per_move_agreement": {m: round(float(np.mean(v)), 4)
