@@ -186,6 +186,9 @@ class TrainerConfig:
     # budgets (e.g. in-test fixtures of < a few hundred steps, which would
     # otherwise spend their whole budget inside the ramp).
     warmup_steps: int = 200
+    # Print one line per epoch (long headless runs are otherwise silent
+    # until the end).
+    verbose: bool = False
     dtype: Any = jnp.float32
 
 
@@ -236,6 +239,12 @@ class Trainer:
 
     def _log(self, record):
         self.metrics_log.append(record)
+        if self.config.verbose:
+            parts = [f"epoch {record.get('epoch', len(self.metrics_log) - 1)}"]
+            for key in ("train_loss", "train_acc", "val_loss", "val_acc"):
+                if key in record:
+                    parts.append(f"{key} {record[key]:.4f}")
+            print("  ".join(parts), flush=True)
         if self.config.log_path:
             os.makedirs(os.path.dirname(self.config.log_path), exist_ok=True)
             with open(self.config.log_path, "a") as f:

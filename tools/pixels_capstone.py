@@ -632,6 +632,7 @@ def phase_action(workdir, act_epochs, act_steps, act_batch):
         # converge.
         curriculum_threshold=0.88, dtype=jnp.bfloat16,
         lr_decay_steps=act_epochs * act_steps,
+        verbose=True,
     )
     print("training flagship ResFormer action model...")
     act_trainer = Trainer(config, action_ds)
