@@ -669,6 +669,8 @@ def phase_eval(workdir, det_steps, det_composites, act_epochs, act_steps,
     smooth_radius = int(os.environ.get("SMOOTH_RADIUS", "16"))
     decode = os.environ.get("DECODE", "argmax")
     switch_cost = float(os.environ.get("SWITCH_COST", "4.0"))
+    pad_raw = os.environ.get("CROP_PAD", "0.125")
+    crop_padding = float(pad_raw) if "." in pad_raw else int(pad_raw)
 
     det_src = reuse_detector or os.path.join(workdir, "detector_state.pkl")
     with open(det_src, "rb") as f:
@@ -715,7 +717,9 @@ def phase_eval(workdir, det_steps, det_composites, act_epochs, act_steps,
     import hashlib
 
     with open(det_src, "rb") as f:
-        det_tag = hashlib.md5(f.read(1 << 20)).hexdigest()[:12]
+        # Cached crops bake in the crop padding too: a padding change must
+        # rotate the detection cache just like a detector change.
+        det_tag = hashlib.md5(f.read(1 << 20)).hexdigest()[:12] + f"-pad{pad_raw}"
     cache = os.path.join(workdir, "ai_cache")
     n_cache = 0
     while os.path.isdir(cache):
@@ -737,7 +741,8 @@ def phase_eval(workdir, det_steps, det_composites, act_epochs, act_steps,
         gt = make_eval_video(video_path, pair, num_frames=eval_frames,
                              seed=2000 + m, stage_path=eval_stage)
         s = analyze_match(video_path, pair, det_trainer, pipe, split_vars,
-                          workdir, gt, smooth_radius=smooth_radius,
+                          workdir, gt, crop_padding=crop_padding,
+                          smooth_radius=smooth_radius,
                           decode=decode, switch_cost=switch_cost,
                           overwrite=True)
         s["pair"] = list(pair)
@@ -760,6 +765,7 @@ def phase_eval(workdir, det_steps, det_composites, act_epochs, act_steps,
                              stage_path=eval_stage)
         small_score = analyze_match(video_path, pair, det_trainer, pipe,
                                     split_vars, workdir, gt, damage=False,
+                                    crop_padding=crop_padding,
                                     smooth_radius=smooth_radius, decode=decode,
                                     switch_cost=switch_cost, overwrite=True)
         small_score["pair"] = list(pair)
