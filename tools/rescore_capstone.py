@@ -73,6 +73,8 @@ def main():
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--fresh-cache", action="store_true",
                     help="redo detection (default reuses the ai_cache)")
+    ap.add_argument("--no-damage", action="store_true",
+                    help="skip damage OCR (decode sweeps don't touch it)")
     args = ap.parse_args()
     workdir = args.workdir
 
@@ -89,21 +91,32 @@ def main():
 
     eval_stage = cap.make_stage(os.path.join(workdir, "eval_stage.jpg"),
                                 seed=991, kind="bands")
+    def cached_gt(video_path, gt_key, render):
+        """GT rebuild is deterministic but re-rendering 1800 frames costs
+        minutes of host CPU per config; cache (video, gt) on first render
+        and reuse for subsequent sweep configs."""
+        gt_path = os.path.join(workdir, f"{gt_key}.gt.pkl")
+        if os.path.exists(gt_path) and os.path.exists(video_path):
+            with open(gt_path, "rb") as f:
+                return pickle.load(f)
+        gt = render()
+        with open(gt_path, "wb") as f:
+            pickle.dump(gt, f)
+        return gt
+
     scores = []
     for m, pair in enumerate(cap.EVAL_PAIR_SETS[: args.pairs]):
         video_path = os.path.join(workdir, f"eval_match_{m}.mp4")
-        if not os.path.exists(video_path):
-            print(f"rendering eval match {m} ({pair[0]} vs {pair[1]})...")
-        # Deterministic: same seeds as the driver -> identical GT even when
-        # the video file already exists (the writer is only invoked when
-        # missing is False too, but re-rendering is cheap and keeps GT and
-        # file in lockstep).
-        gt = cap.make_eval_video(video_path, pair, num_frames=args.frames,
-                                 seed=2000 + m, stage_path=eval_stage)
+        gt = cached_gt(
+            video_path, f"eval_match_{m}_{args.frames}",
+            lambda: cap.make_eval_video(video_path, pair,
+                                        num_frames=args.frames,
+                                        seed=2000 + m, stage_path=eval_stage),
+        )
         s = cap.analyze_match(video_path, pair, det_trainer, pipe, split_vars,
                               workdir, gt, smooth_radius=args.smooth_radius,
                               decode=args.decode, switch_cost=args.switch_cost,
-                              overwrite=True)
+                              damage=not args.no_damage, overwrite=True)
         s["pair"] = list(pair)
         print(f"match {m} {pair}: det {s['det_rate']:.2%} "
               f"act {s['act_rate']:.2%} (raw {s['act_rate_raw']:.2%}, "
@@ -116,10 +129,13 @@ def main():
     if args.small:
         pair = cap.EVAL_PAIR_SETS[0]
         video_path = os.path.join(workdir, "eval_small.mp4")
-        gt = cap.make_eval_video(video_path, pair,
-                                 num_frames=min(args.frames, 900),
-                                 sprite_px=(40, 64), seed=3000,
-                                 stage_path=eval_stage)
+        gt = cached_gt(
+            video_path, f"eval_small_{min(args.frames, 900)}",
+            lambda: cap.make_eval_video(video_path, pair,
+                                        num_frames=min(args.frames, 900),
+                                        sprite_px=(40, 64), seed=3000,
+                                        stage_path=eval_stage),
+        )
         s = cap.analyze_match(video_path, pair, det_trainer, pipe, split_vars,
                               workdir, gt, damage=False,
                               smooth_radius=args.smooth_radius,
