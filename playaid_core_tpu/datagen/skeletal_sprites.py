@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import math
 import os
+import zlib
 from dataclasses import dataclass, field, replace
 
 import cv2
@@ -119,7 +120,12 @@ def style_variant(style: FighterStyle, seed: int) -> FighterStyle:
     eval distribution genuinely unseen."""
     if seed == 0:
         return style
-    rng = np.random.default_rng(seed * 7919 + hash(style.name) % 10007)
+    # Stable name hash: builtin hash() is salted per process
+    # (PYTHONHASHSEED), which silently re-randomized every variant across
+    # processes — eval GT rendered by one process didn't match detections
+    # cached by another.
+    name_hash = zlib.crc32(style.name.encode()) % 10007
+    rng = np.random.default_rng(seed * 7919 + name_hash)
 
     def shift(c):
         hsv = cv2.cvtColor(np.uint8([[list(c)]]), cv2.COLOR_BGR2HSV).astype(int)

@@ -73,6 +73,30 @@ def test_variant_seeds_deterministic_and_distinct():
     assert np.abs(base.astype(int) - v1a.astype(int)).mean() > 0.5
 
 
+def test_variant_deterministic_across_processes():
+    """Variant styles must not depend on the per-process string-hash salt:
+    eval GT rendered in one process must match detections cached by
+    another (builtin hash() broke this, PYTHONHASHSEED-salted)."""
+    import subprocess
+    import sys
+
+    snippet = (
+        "from playaid_core_tpu.datagen import skeletal_sprites as sk;"
+        "v = sk.style_variant(sk.FIGHTER_STYLES['Joker'], 17);"
+        "print(v.body_color, round(v.head_r, 6), round(v.thickness, 6))"
+    )
+    import os
+
+    outs = set()
+    for hashseed in ("1", "2"):
+        env = dict(os.environ)
+        env.update(PYTHONHASHSEED=hashseed, JAX_PLATFORMS="cpu")
+        r = subprocess.run([sys.executable, "-c", snippet], env=env,
+                           capture_output=True, text=True, check=True)
+        outs.add(r.stdout.strip())
+    assert len(outs) == 1, f"variant differs across hash salts: {outs}"
+
+
 def test_facing_mirrors():
     r = sk.render_sprite("Byleth", "ForwardTilt", 0.5, facing=1)
     l = sk.render_sprite("Byleth", "ForwardTilt", 0.5, facing=-1)
