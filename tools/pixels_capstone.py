@@ -399,7 +399,7 @@ def score_run(runner, pair, gt, boundary=9):
 # driver
 # ---------------------------------------------------------------------------
 
-def _warm_tunnel(attempts=3):
+def _warm_tunnel(attempts=5):
     """Clear tunnel staleness before real work: after ~10 min of device
     idleness the FIRST client to touch the TPU wedges forever (all
     threads in futex), but killing it and dialing again from a fresh
