@@ -47,7 +47,11 @@ struct Decoder {
   const AVStream* stream = nullptr;
   AVFrame* frame = nullptr;
   AVPacket* pkt = nullptr;
-  SwsContext* sws = nullptr;  // cached via sws_getCachedContext
+  SwsContext* sws = nullptr;   // direct path, cached via sws_getCachedContext
+  SwsContext* sws_cvt = nullptr;  // odd-origin stage 1: region YUV->BGR 1:1
+  SwsContext* sws_box = nullptr;  // odd-origin stage 2: BGR rect -> dst
+  uint8_t* scratch = nullptr;     // stage-1 BGR region buffer
+  size_t scratch_cap = 0;
   int stream_index = -1;
   int lowres = 0;
   int fast = 0;
@@ -285,11 +289,19 @@ long vd_decode_crops_fmt(void* h, long start, long n, const float* boxes,
       const int vx1 = std::min(d->full_w, x0 + side);
       const int vy1 = std::min(d->full_h, y0 + side);
       if (vx1 <= vx0 || vy1 <= vy0) continue;
-      // Map to decoded coords; align down to even for 4:2:0 chroma.
-      int sx0 = (int)(vx0 * sx) & ~1;
-      int sy0 = (int)(vy0 * sy) & ~1;
-      int sw = std::min(dec_w - sx0, (int)lrint((vx1 - vx0) * sx));
-      int sh = std::min(dec_h - sy0, (int)lrint((vy1 - vy0) * sy));
+      // Map to decoded coords.  Planar chroma pointers can only address
+      // even luma columns/rows, so odd-origin rects go through a two-stage
+      // path below (an even-aligned superset is converted to packed BGR
+      // 1:1, which any pixel offset can address); aligning the origin down
+      // instead would shift the whole crop by a pixel — at far-zoom sprite
+      // sizes that measurably flips labels vs the cv2 baseline.
+      const int sx0e = (int)(vx0 * sx);
+      const int sy0e = (int)(vy0 * sy);
+      const int ox = sx0e & 1, oy = sy0e & 1;
+      int sx0 = sx0e & ~1;
+      int sy0 = sy0e & ~1;
+      int sw = std::min(dec_w - sx0e, (int)lrint((vx1 - vx0) * sx));
+      int sh = std::min(dec_h - sy0e, (int)lrint((vy1 - vy0) * sy));
       if (sw < 2 || sh < 2) continue;
       // Destination sub-rectangle of the letterboxed out_size tile,
       // proportional to the visible part of the square.
@@ -310,10 +322,20 @@ long vd_decode_crops_fmt(void* h, long start, long n, const float* boxes,
       if (dw < (fmt == 1 ? 2 : 1) || dh < (fmt == 1 ? 2 : 1)) continue;
       const AVPixelFormat dst_fmt =
           fmt == 1 ? AV_PIX_FMT_YUV420P : AV_PIX_FMT_BGR24;
-      d->sws = sws_getCachedContext(
-          d->sws, sw, sh, (AVPixelFormat)f->format, dw, dh, dst_fmt,
-          SWS_AREA, nullptr, nullptr, nullptr);
-      if (!d->sws) continue;
+      unsigned char* crop = out + ((size_t)i * K + k) * crop_bytes;
+      const int cs = out_size / 2;
+      uint8_t* dst[4] = {nullptr, nullptr, nullptr, nullptr};
+      int dst_stride[4] = {0, 0, 0, 0};
+      if (fmt == 1) {
+        dst[0] = crop + (size_t)dy0 * out_size + dx0;
+        dst[1] = crop + y_bytes + (size_t)(dy0 / 2) * cs + dx0 / 2;
+        dst[2] = crop + y_bytes + c_bytes + (size_t)(dy0 / 2) * cs + dx0 / 2;
+        dst_stride[0] = out_size;
+        dst_stride[1] = dst_stride[2] = cs;
+      } else {
+        dst[0] = crop + (size_t)dy0 * out_size * 3 + (size_t)dx0 * 3;
+        dst_stride[0] = out_size * 3;
+      }
       const AVPixFmtDescriptor* desc =
           av_pix_fmt_desc_get((AVPixelFormat)f->format);
       const uint8_t* src[4] = {nullptr, nullptr, nullptr, nullptr};
@@ -323,21 +345,46 @@ long vd_decode_crops_fmt(void* h, long start, long n, const float* boxes,
         src[p] = f->data[p] + (size_t)(sy0 >> vshift) * f->linesize[p] +
                  ((sx0 >> hshift) * (desc->comp[p].step));
       }
-      unsigned char* crop =
-          out + ((size_t)i * K + k) * crop_bytes;
-      if (fmt == 1) {
-        const int cs = out_size / 2;
-        uint8_t* dst[4] = {
-            crop + (size_t)dy0 * out_size + dx0,
-            crop + y_bytes + (size_t)(dy0 / 2) * cs + dx0 / 2,
-            crop + y_bytes + c_bytes + (size_t)(dy0 / 2) * cs + dx0 / 2,
-            nullptr};
-        int dst_stride[4] = {out_size, cs, cs, 0};
-        sws_scale(d->sws, src, f->linesize, 0, sh, dst, dst_stride);
+      if (ox || oy) {
+        // Two-stage odd-origin path.  Stage 1: even-aligned superset
+        // region -> packed BGR at 1:1 (identity scale; chroma upsampling
+        // matches the full-frame conversion for aligned regions, verified
+        // bit-exact vs the cv2 baseline).  Stage 2: the EXACT rect —
+        // packed BGR addresses any pixel — scaled to the destination.
+        int ew = std::min(dec_w - sx0, (sw + ox + 15) & ~15);
+        int eh = std::min(dec_h - sy0, (sh + oy + 1) & ~1);
+        if (ew < sw + ox) sw = ew - ox;
+        if (eh < sh + oy) sh = eh - oy;
+        if (sw < 2 || sh < 2) continue;
+        const int sstride = (ew * 3 + 63) & ~63;
+        const size_t need = (size_t)sstride * eh;
+        if (need > d->scratch_cap) {
+          av_free(d->scratch);
+          d->scratch = (uint8_t*)av_malloc(need);
+          d->scratch_cap = d->scratch ? need : 0;
+        }
+        if (!d->scratch) continue;
+        d->sws_cvt = sws_getCachedContext(
+            d->sws_cvt, ew, eh, (AVPixelFormat)f->format, ew, eh,
+            AV_PIX_FMT_BGR24, SWS_POINT, nullptr, nullptr, nullptr);
+        if (!d->sws_cvt) continue;
+        uint8_t* cvt_dst[4] = {d->scratch, nullptr, nullptr, nullptr};
+        int cvt_stride[4] = {sstride, 0, 0, 0};
+        sws_scale(d->sws_cvt, src, f->linesize, 0, eh, cvt_dst, cvt_stride);
+        d->sws_box = sws_getCachedContext(
+            d->sws_box, sw, sh, AV_PIX_FMT_BGR24, dw, dh, dst_fmt,
+            SWS_AREA, nullptr, nullptr, nullptr);
+        if (!d->sws_box) continue;
+        const uint8_t* bsrc[4] = {
+            d->scratch + (size_t)oy * sstride + (size_t)ox * 3, nullptr,
+            nullptr, nullptr};
+        int bstride[4] = {sstride, 0, 0, 0};
+        sws_scale(d->sws_box, bsrc, bstride, 0, sh, dst, dst_stride);
       } else {
-        uint8_t* dst[4] = {crop + (size_t)dy0 * out_size * 3 + (size_t)dx0 * 3,
-                           nullptr, nullptr, nullptr};
-        int dst_stride[4] = {out_size * 3, 0, 0, 0};
+        d->sws = sws_getCachedContext(
+            d->sws, sw, sh, (AVPixelFormat)f->format, dw, dh, dst_fmt,
+            SWS_AREA, nullptr, nullptr, nullptr);
+        if (!d->sws) continue;
         sws_scale(d->sws, src, f->linesize, 0, sh, dst, dst_stride);
       }
     }
@@ -356,6 +403,9 @@ void vd_close(void* h) {
   Decoder* d = (Decoder*)h;
   if (!d) return;
   if (d->sws) sws_freeContext(d->sws);
+  if (d->sws_cvt) sws_freeContext(d->sws_cvt);
+  if (d->sws_box) sws_freeContext(d->sws_box);
+  av_free(d->scratch);
   if (d->frame) av_frame_free(&d->frame);
   if (d->pkt) av_packet_free(&d->pkt);
   if (d->codec) avcodec_free_context(&d->codec);

@@ -111,22 +111,32 @@ fail:
   return nullptr;
 }
 
-// bgr: [h, w, 3] uint8.  Returns 0 on success.
-int ve_write(void* h_, const unsigned char* bgr) {
+// data: packed uint8 frame in the given input format.
+// fmt: 0 = BGR24 ([h,w,3]), 1 = RGBA ([h,w,4]).  RGBA input lets the
+// renderer hand over its canvas without a host-side cvtColor pass — the
+// single sws_scale does color conversion + 420 subsampling either way.
+int ve_write_fmt(void* h_, const unsigned char* data, int fmt) {
   Encoder* e = (Encoder*)h_;
   if (av_frame_make_writable(e->frame) < 0) return -1;
-  e->sws = sws_getCachedContext(e->sws, e->w, e->h, AV_PIX_FMT_BGR24, e->w,
+  AVPixelFormat in_fmt = fmt == 1 ? AV_PIX_FMT_RGBA : AV_PIX_FMT_BGR24;
+  int bpp = fmt == 1 ? 4 : 3;
+  e->sws = sws_getCachedContext(e->sws, e->w, e->h, in_fmt, e->w,
                                 e->h, AV_PIX_FMT_YUV420P, SWS_BILINEAR,
                                 nullptr, nullptr, nullptr);
   if (!e->sws) return -2;
-  const uint8_t* src[4] = {bgr, nullptr, nullptr, nullptr};
-  int src_stride[4] = {e->w * 3, 0, 0, 0};
+  const uint8_t* src[4] = {data, nullptr, nullptr, nullptr};
+  int src_stride[4] = {e->w * bpp, 0, 0, 0};
   sws_scale(e->sws, src, src_stride, 0, e->h, e->frame->data,
             e->frame->linesize);
   e->frame->pts = e->next_pts++;
   int ret = avcodec_send_frame(e->codec, e->frame);
   if (ret < 0) return ret;
   return flush_packets(e);
+}
+
+// bgr: [h, w, 3] uint8.  Returns 0 on success.
+int ve_write(void* h_, const unsigned char* bgr) {
+  return ve_write_fmt(h_, bgr, 0);
 }
 
 int ve_close(void* h_) {

@@ -74,6 +74,7 @@ class Annotator:
         self.pil = False
         self.lw = 2
         self._canvas = None     # reusable padded canvas (maybe_pad_image)
+        self._panels_stale = True  # canvas panel regions need a (re)blit
         self._text_font = None  # fonts load once, not per frame
         self._emoji_font = None
 
@@ -82,27 +83,47 @@ class Annotator:
         assert im.data.contiguous, (
             "Image not contiguous. Apply np.ascontiguousarray(im) to Annotator() input images."
         )
-        non_ascii = not is_ascii(example)
-        self.pil = pil or non_ascii
-        if self.pil:
-            self.im = im if isinstance(im, Image.Image) else Image.fromarray(im)
-            self.draw = ImageDraw.Draw(self.im)
-            if self._text_font is None:
-                self._text_font = ImageFont.load_default()
-                try:
-                    self._emoji_font = ImageFont.truetype(EMOJI_FONT_PATH, 32)
-                except OSError:
-                    self._emoji_font = self._text_font
-            self.text_font = self._text_font
-            self.emoji_font = self._emoji_font
+        # ``pil=True`` forces the PIL text path for the whole frame; a
+        # non-ASCII ``example`` only marks that PIL *may* be needed — the
+        # conversion happens lazily on the first non-ASCII label
+        # (_ensure_pil), so all-ASCII frames never pay the ndarray<->PIL
+        # round trip (~6 ms/frame at 720p; the reference picks the path by
+        # ASCII-ness the same way, annotator.py:79-101).
+        self.pil = pil
+        self.draw = None
+        if pil and not isinstance(im, Image.Image):
+            self.im = Image.fromarray(im)
+            self._make_draw()
         else:
             self.im = im
         self.lw = line_width or max(round(sum(im.shape) / 2 * 0.003), 2)
 
+    def _make_draw(self):
+        self.draw = ImageDraw.Draw(self.im)
+        if self._text_font is None:
+            self._text_font = ImageFont.load_default()
+            try:
+                self._emoji_font = ImageFont.truetype(EMOJI_FONT_PATH, 32)
+            except OSError:
+                self._emoji_font = self._text_font
+        self.text_font = self._text_font
+        self.emoji_font = self._emoji_font
+
+    def _ensure_pil(self):
+        """Switch the current frame to the PIL draw path (first non-ASCII
+        label, or an explicit pil=True set_frame)."""
+        if not isinstance(self.im, Image.Image):
+            self.im = Image.fromarray(np.asarray(self.im))
+            self.draw = None
+        self.pil = True
+        if self.draw is None:
+            self._make_draw()
+
     def box_label(self, box, label="", color=(128, 128, 128), txt_color=(255, 255, 255),
                   draw_box=True):
         """Draw one labeled box (reference: annotator.py:103-187)."""
-        if self.pil or not is_ascii(label):
+        if self.pil or isinstance(self.im, Image.Image) or not is_ascii(label):
+            self._ensure_pil()
             if draw_box:
                 self.draw.rectangle(box, width=self.lw, outline=color)
             if label:
@@ -150,7 +171,9 @@ class Annotator:
                                show_history_charts=False):
         """Fading per-fighter move pies near each fighter's bbox
         (reference: annotator.py:189-215)."""
-        self.im = np.array(self.im)
+        self.im = np.asarray(self.im)
+        if not self.im.flags.writeable:  # PIL-backed frame: materialize once
+            self.im = np.array(self.im)
         size = 60
         for fighter in fighters:
             if not show_tracked_chart:
@@ -189,8 +212,15 @@ class Annotator:
         """
         self.maybe_pad_image()
         if reuse and getattr(self, "_panel_cache", None):
+            # The persistent canvas still holds the previous blit: only the
+            # video region is rewritten between chart refreshes, so the
+            # panel pixels are already correct and the ~5 MB/frame re-blit
+            # can be skipped outright.
+            if not self._panels_stale:
+                return
             for image, x, y in self._panel_cache:
                 self._blit(image, x, y)
+            self._panels_stale = False
             return
 
         cache = []
@@ -222,6 +252,7 @@ class Annotator:
             )
             blit(image, x, y)
         self._panel_cache = cache
+        self._panels_stale = False
 
     def basic_counter(self, x, fighter, stats):
         """Plain-text per-move counters on one side (reference:
@@ -258,6 +289,7 @@ class Annotator:
                     (self.output_height, self.output_width, self.im.shape[2]),
                     self.im.dtype,
                 )
+                self._panels_stale = True
             self._canvas[: self.im.shape[0],
                          self.left_padding : self.left_padding + self.im.shape[1]] = self.im
             self.im = self._canvas
@@ -267,6 +299,7 @@ class Annotator:
         """Five full-canvas summary charts, each held 3 seconds
         (reference: annotator.py:315-347)."""
         self.maybe_pad_image()
+        self._panels_stale = True  # summary cards overwrite the panel regions
         index_to_x = {0: 0, 1: self.output_width // 2}
         graphs = [
             move_success_punished_missed_bar_graph,
@@ -293,7 +326,8 @@ class Annotator:
 
     def write(self):
         result = self.result()
-        # cvtColor allocates a fresh BGR frame, so the threaded writer
-        # can take ownership without its defensive copy.
-        result = cv2.cvtColor(result, cv2.COLOR_RGBA2BGR)
-        self.video_writer.write(result, copy=False)
+        # Hand the RGBA canvas straight to the writer seam: the native
+        # encoder converts RGBA->YUV420 in one sws pass on its thread and
+        # the cv2 fallback cvtColors off-thread — either way the render
+        # thread only pays the ownership copy (the canvas is reused).
+        self.video_writer.write(result, copy=True)

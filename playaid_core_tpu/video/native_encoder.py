@@ -64,6 +64,10 @@ def get_library():
         lib.ve_write.restype = ctypes.c_int
         lib.ve_write.argtypes = [ctypes.c_void_p,
                                  ctypes.POINTER(ctypes.c_ubyte)]
+        lib.ve_write_fmt.restype = ctypes.c_int
+        lib.ve_write_fmt.argtypes = [ctypes.c_void_p,
+                                     ctypes.POINTER(ctypes.c_ubyte),
+                                     ctypes.c_int]
         lib.ve_close.restype = ctypes.c_int
         lib.ve_close.argtypes = [ctypes.c_void_p]
         _lib = lib
@@ -119,12 +123,16 @@ class NativeVideoWriter:
         return bool(self._h)
 
     def write(self, frame):
+        """Encode one frame: [h, w, 3] BGR or [h, w, 4] RGBA uint8 (RGBA
+        goes through a single sws color-convert+subsample pass, no
+        cvtColor needed on the render thread)."""
         frame = np.ascontiguousarray(frame, dtype=np.uint8)
         h, w = frame.shape[:2]
         if (w, h) != self._size:
             raise ValueError(f"frame size {(w, h)} != {self._size}")
-        rc = self._lib.ve_write(
-            self._h, frame.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
+        fmt = 1 if frame.ndim == 3 and frame.shape[2] == 4 else 0
+        rc = self._lib.ve_write_fmt(
+            self._h, frame.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), fmt
         )
         if rc != 0:
             raise RuntimeError(f"encode error: {rc}")

@@ -39,6 +39,11 @@ class _EncodeThread:
             if frame is None:
                 return
             try:
+                # cv2's writer wants BGR; the native encoder takes RGBA
+                # directly.  Converting here keeps the render thread free.
+                if (frame.ndim == 3 and frame.shape[2] == 4
+                        and isinstance(self.inner, cv2.VideoWriter)):
+                    frame = cv2.cvtColor(frame, cv2.COLOR_RGBA2BGR)
                 self.inner.write(frame)
             except BaseException as e:  # surface on the next write/release
                 self._error = e
@@ -107,15 +112,21 @@ class VideoWriter:
         else:
             self.writer = _EncodeThread(inner)
 
-    def write(self, bgr_frame, copy=True):
-        assert bgr_frame.shape[0] == self.height and bgr_frame.shape[1] == self.width, (
+    def write(self, frame, copy=True):
+        """Write a [h, w, 3] BGR or [h, w, 4] RGBA uint8 frame.  RGBA is
+        converted for cv2 fallbacks (off-thread when threaded); the native
+        encoder consumes it directly."""
+        assert frame.shape[0] == self.height and frame.shape[1] == self.width, (
             f"Incorrect frame size, expected {self.width}x{self.height} "
-            f"got {bgr_frame.shape[1]}x{bgr_frame.shape[0]}"
+            f"got {frame.shape[1]}x{frame.shape[0]}"
         )
         if isinstance(self.writer, _EncodeThread):
-            self.writer.write(bgr_frame, copy=copy)
+            self.writer.write(frame, copy=copy)
         else:
-            self.writer.write(bgr_frame)
+            if frame.ndim == 3 and frame.shape[2] == 4 and isinstance(
+                    self.writer, cv2.VideoWriter):
+                frame = cv2.cvtColor(frame, cv2.COLOR_RGBA2BGR)
+            self.writer.write(frame)
 
     def release(self):
         self.writer.release()

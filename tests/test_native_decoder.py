@@ -78,6 +78,32 @@ def test_crops_match_cv2_path(video):
     assert np.median(diff) <= 3.0
 
 
+def test_identity_scale_crops_bit_exact(video):
+    """At identity scale (side == out_size) the native crop must equal the
+    cv2 path BIT-EXACTLY for every crop origin parity.  Regression: the
+    decoder used to align odd origins down to even for 4:2:0 chroma
+    addressing, shifting the whole crop by a pixel — enough to flip labels
+    on far-zoom sprites (the two-stage odd-origin path fixes it)."""
+    path, _ = video
+    w, h = 640, 360
+    n = 16
+    # Boxes engineered so side == 2*(half+pad) == out_size exactly, with
+    # origins sweeping all four (x, y) parities.
+    out_size, pad = 64, 8
+    boxes = np.zeros((n, 2, 4), np.float32)
+    for i in range(n):
+        for k in range(2):
+            cx = (200 + 7 * i + k) / w      # odd/even x centers
+            cy = (160 + 5 * i + 3 * k) / h  # odd/even y centers
+            boxes[i, k] = (cx, cy, 48 / w, 48 / h)  # half=24 -> side=64
+    ref = _cv2_crops(path, boxes, out_size=out_size, padding=pad)[:n]
+    with native_decoder.NativeVideoDecoder(path) as dec:
+        cnt, crops = dec.decode_crops(0, boxes, out_size, pad)
+    assert cnt == n
+    assert np.array_equal(ref, crops), (
+        np.abs(ref.astype(np.int16) - crops.astype(np.int16)).mean())
+
+
 def test_seek_matches_sequential(video):
     path, boxes = video
     with native_decoder.NativeVideoDecoder(path) as dec:

@@ -26,7 +26,7 @@ def main():
 
     frames = int(sys.argv[1]) if len(sys.argv) > 1 else 600
     log = "/tmp/bench_ms_log.txt"
-    video = "/tmp/bench_ms_vid.mp4"
+    video = f"/tmp/bench_ms_vid_{frames}.mp4"  # fixture keyed by length
     write_log(log, scripted_match(frames))
     if not os.path.exists(video):
         w = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"mp4v"), 60, (1280, 720))
@@ -57,11 +57,15 @@ def main():
         t0 = time.perf_counter()
         ms.render()
         dt = time.perf_counter() - t0
+        # fps over frames actually rendered (the decode stage count is
+        # rendered+1: the final read returns EOF), not the request.
+        rendered = ms.timer.counts["charts"]
         results[label] = {
-            "fps": round(frames / dt, 1),
+            "fps": round(rendered / dt, 1),
+            "frames": rendered,
             "stages": ms.timer.report(),
         }
-        print(f"{label}: {frames / dt:.1f} fps | {ms.timer.report()}")
+        print(f"{label}: {rendered / dt:.1f} fps | {ms.timer.report()}")
 
     print(json.dumps(results))
 
