@@ -81,12 +81,17 @@ def main():
     num_frames = int(os.environ.get("BENCH_FRAMES", "600"))
     chunk = int(os.environ.get("BENCH_CHUNK", "48"))
     # Scale-at-decode: mpeg4 supports fractional (1/2^n) decode; crops are
-    # resampled to the model's 128px input regardless.  Validated lossless
-    # for the model at lowres 1 AND 2 with trained weights (100% label
-    # match vs full-res cv2, tools/validate_decode_backends.py); use
-    # BENCH_LOWRES=1 or 0 for conservative runs on real footage with very
-    # small (far-zoom) characters.
-    lowres = int(os.environ.get("BENCH_LOWRES", "2"))
+    # resampled to the model's 128px input regardless.  Fractional decode
+    # is only label-safe while the decoded crop region stays >= the model
+    # input size (measured with the scaled 27-class capstone model:
+    # below that, lowres=1 costs 4-46 pts of agreement and lowres=2
+    # collapses it — tools/validate_decode_backends.py).  The default is
+    # therefore the DEPLOYED policy, lowres="auto"
+    # (vod_pipeline.auto_lowres): pick the largest safe factor from the
+    # measured box sizes.  On this fixture's 260px boxes auto resolves to
+    # lowres=1.  BENCH_LOWRES=0/1/2 forces a fixed factor.
+    lowres_env = os.environ.get("BENCH_LOWRES", "auto")
+    lowres = lowres_env if lowres_env == "auto" else int(lowres_env)
     # Label every 2nd frame and propagate (matches the reference's own
     # effective temporal resolution: its GT videos are 30 fps against a
     # 60 fps log — reference: dataset_utils.py:94).  BENCH_STRIDE=1 for
@@ -137,8 +142,11 @@ def main():
     results = [analyzer.analyze(video_path, boxes) for _ in range(timed_runs)]
     run_fps = sorted(round(r["fps"], 1) for r in results)
     fps = run_fps[len(run_fps) // 2]  # median
+    # Effective decode factor after "auto" resolution / codec clamp.
+    eff_lowres = results[0].get("lowres", 0)
     log(f"frames: {results[0]['frames']}, fps median: {fps:.1f}, "
-        f"realtime-x: {fps / 60:.2f} (runs: {run_fps})")
+        f"realtime-x: {fps / 60:.2f} (runs: {run_fps}, "
+        f"effective lowres: {eff_lowres})")
 
     def median_fps(an, path, bxs, runs=2):
         an.variables = analyzer.variables  # share weights + compiled embeds
@@ -223,7 +231,9 @@ def main():
         # fast configuration is the headline; the per-frame and h264
         # numbers ride alongside.
         "metric": ("1080p60 frames/sec/chip (decode+preprocess+2-fighter "
-                   f"action detect; mpeg4 lowres={lowres}, label-stride={stride})"),
+                   f"action detect; mpeg4 lowres={eff_lowres}"
+                   f"{' auto-policy' if lowres == 'auto' else ''}, "
+                   f"label-stride={stride})"),
         "value": fps,
         "unit": "frames/sec",
         "vs_baseline": round(fps / baseline_fps, 3),
@@ -237,15 +247,19 @@ def main():
         "device_only_crops_per_sec": round(device_cps),
         "device_only_fps_2fighters": round(device_cps / 2),
         "decode_backend": "native" if native_decoder.available() else "cv2",
-        "lowres": lowres,
+        "lowres": eff_lowres,
+        "lowres_policy": str(lowres),
         "stride": stride,
         # Mode disclosure: stride>1 propagates each classified frame's
         # label to the frames in between (the reference's GT videos are
         # 30 fps vs the 60 fps log); lowres>0 is fractional decode where
         # the codec supports it (mpeg4 yes, h264 no — h264 rows decode
-        # full-res).  BENCH_STRIDE=1 BENCH_LOWRES=0 measures the
-        # conservative configuration end to end.
-        "mode": f"scale-at-decode lowres={lowres}, label-stride={stride}",
+        # full-res), applied only while the decoded crop region stays >=
+        # the model input size (label-safe by measurement, see
+        # vod_pipeline.auto_lowres).  BENCH_STRIDE=1 BENCH_LOWRES=0
+        # measures the conservative configuration end to end.
+        "mode": f"scale-at-decode lowres={eff_lowres} (policy {lowres}), "
+                f"label-stride={stride}",
     }))
 
 

@@ -256,8 +256,12 @@ class BatchedActionPipeline:
         y = crops_yuv[:, :yb].reshape(n, s, s).astype(jnp.float32)
         u = crops_yuv[:, yb : yb + cb].reshape(n, s // 2, s // 2).astype(jnp.float32)
         v = crops_yuv[:, yb + cb :].reshape(n, s // 2, s // 2).astype(jnp.float32)
-        # Nearest 2x chroma upsample (high-frequency chroma was already
-        # band-limited by the 4:2:0 source).
+
+        # Nearest 2x chroma upsample — deliberately matching the host
+        # swscale unscaled YUV420->BGR converter (it replicates chroma
+        # too; a phase-correct bilinear upsample was measured and does NOT
+        # reduce the delta vs the bit-exact native BGR crops — the
+        # residual ~0.8 mean is swscale's integer-coefficient rounding).
         u = jnp.repeat(jnp.repeat(u, 2, axis=1), 2, axis=2)
         v = jnp.repeat(jnp.repeat(v, 2, axis=1), 2, axis=2)
         yc = 1.164383 * (y - 16.0)

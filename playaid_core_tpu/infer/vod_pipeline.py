@@ -337,6 +337,42 @@ def boxes_from_log(label_path, num_frames=None, log_offset=0):
     return boxes
 
 
+def auto_lowres(boxes, video_w, video_h, crop_size, padding, max_lowres=2):
+    """Pick the largest fractional-decode factor that is label-safe.
+
+    Fractional (1/2^L) decode is only harmless when the decoded crop
+    region is still at least the model's input size: the crop is
+    downsampled to ``crop_size`` px either way, so decoding less than
+    that throws away pixels the model would have seen (and mpeg4 lowres
+    is a coefficient-truncating approximation, not a clean resample).
+    Measured with the scaled 27-class capstone model
+    (tools/validate_decode_backends.py): at sprite sizes where the
+    decoded region falls below the input size, lowres=1 costs 4-46 pts
+    of label agreement and lowres=2 collapses it — while full-res native
+    decode matches cv2 at ~99.9%.
+
+    The crop side per box mirrors the extractor's geometry
+    (native/video_decoder.cpp: side = 2*(max(bw, bh)/2 + pad)); the
+    policy requires the *smallest* real box's side to survive, so one
+    far-zoom stretch can't silently flip labels.
+    """
+    b = np.asarray(boxes, np.float32).reshape(-1, 4)
+    bw = (b[:, 2] * video_w).astype(np.int64)
+    bh = (b[:, 3] * video_h).astype(np.int64)
+    half = np.maximum(bw, bh) // 2
+    side = 2 * (half + int(padding))
+    # Degenerate boxes (absent fighter slots, zero-size placeholders)
+    # produce side == 2*padding; they never reach the model.
+    real = side[half > 0]
+    if real.size == 0:
+        return 0
+    min_side = int(real.min())
+    lowres = 0
+    while lowres < max_lowres and (min_side >> (lowres + 1)) >= crop_size:
+        lowres += 1
+    return lowres
+
+
 class VodAnalyzer:
     """Analyze a VOD: per-frame action labels for both fighters."""
 
@@ -356,9 +392,12 @@ class VodAnalyzer:
         # builds and host_resize is on.
         self.decode_backend = decode_backend
         # lowres: decode at 1/2^lowres resolution on codecs that support it
-        # (mpeg4 yes, h264 no — silently clamped).  Crops are resampled to
-        # the model's 128px input either way; label agreement is validated
-        # by tests (tests/test_native_decoder.py).
+        # (mpeg4 yes, h264 no — silently clamped), or "auto" to pick the
+        # largest label-safe factor from the measured box sizes (see
+        # auto_lowres: the decoded crop region must stay >= the model
+        # input size).  Crops are resampled to the model's input either
+        # way; agreement under each mode is validated by
+        # tests/test_decode_backend_agreement.py with trained weights.
         self.lowres = lowres
         # fast_decode: skip the codec's in-loop deblocking filter (native
         # backend only) — the reduced-cost decode mode for h264, which has
@@ -437,6 +476,23 @@ class VodAnalyzer:
         if fmt == "yuv420" and not use_native:
             raise ValueError("transfer_format='yuv420' requires the native decoder")
 
+        lowres = self.lowres if isinstance(self.lowres, int) else 0
+        if use_native and (self.lowres == "auto" or lowres > 0):
+            from playaid_core_tpu.video.native_decoder import NativeVideoDecoder
+
+            # One cheap probe open resolves the video dims and the codec's
+            # clamp (h264 has no fractional lowres); "auto" then picks the
+            # largest label-safe factor from the measured box sizes.
+            with NativeVideoDecoder(video_path, lowres=3) as probe:
+                codec_max = probe.lowres
+                if self.lowres == "auto":
+                    lowres = auto_lowres(
+                        boxes[:f_total], probe.width, probe.height,
+                        crop_size, self.padding, max_lowres=codec_max,
+                    )
+                else:
+                    lowres = min(self.lowres, codec_max)
+
         if self.host_resize:
             def transform(i, frame):
                 if i % stride != 0:
@@ -496,7 +552,7 @@ class VodAnalyzer:
         if use_native:
             decoder = NativeChunkDecoder(
                 video_path, f_total, self.chunk, boxes, crop_size, self.padding,
-                workers=self.decode_workers, lowres=self.lowres, stride=stride,
+                workers=self.decode_workers, lowres=lowres, stride=stride,
                 fmt=fmt, fast=self.fast_decode,
             )
         else:
@@ -612,6 +668,10 @@ class VodAnalyzer:
             "frames": decoded,
             "seconds": elapsed,
             "fps": decoded / elapsed if elapsed > 0 else 0.0,
+            # Effective decode mode this run (after "auto" resolution and
+            # the codec's lowres clamp) — callers/benches report it.
+            "lowres": lowres if use_native else 0,
+            "backend": "native" if use_native else "cv2",
         }
 
 
@@ -674,8 +734,9 @@ def main():
     @click.option("--backend", default="auto",
                   type=click.Choice(["auto", "native", "cv2"]),
                   help="decode backend (native = libavcodec crop extractor)")
-    @click.option("--lowres", default=0, type=int,
-                  help="fractional decode 1/2^n where the codec supports it")
+    @click.option("--lowres", default="auto",
+                  help="fractional decode: 0/1/2, or 'auto' to pick the "
+                       "largest label-safe factor from the box sizes")
     @click.option("--stride", default=1, type=int,
                   help="classify every stride-th frame, propagate labels")
     def analyze_vod(video, log_path, family, frames, out, checkpoint,
@@ -684,6 +745,8 @@ def main():
         boxes projected from the log (detection-free)."""
         from playaid_core_tpu.ontology import CLASS_ID_TO_MOVE
 
+        if lowres != "auto":
+            lowres = int(lowres)
         boxes = boxes_from_log(log_path, num_frames=frames)
         pipe = BatchedActionPipeline(family=family)
         variables = pipe.load_checkpoint(checkpoint) if checkpoint else None

@@ -4,10 +4,12 @@ The portable successor to the round-2 machine-pinned
 tools/validate_decode_backends.py run: trains a small CNN in-test (on
 the quick color-coded toy task — backend equivalence only needs a
 CONFIDENT model, not the full skeletal capstone), then asserts every
-decode configuration (native BGR, YUV420 transfer, fractional lowres 1
-and 2, stride 2) produces labels matching the cv2 baseline — INCLUDING
-a far-zoom clip with ~48 px sprites, the small-box case quarter-res
-decode could plausibly break (round-2 verdict item 5).
+DEPLOYED decode configuration (native BGR, YUV420 transfer, the
+auto-lowres policy, stride 2) produces labels matching the cv2 baseline
+— INCLUDING a far-zoom clip with ~48 px sprites, the small-box case
+where fractional decode flips labels (round-2 verdict item 5; measured
+at scale with the capstone model, lowres below the input size costs
+4-46 pts — hence the auto policy, vod_pipeline.auto_lowres).
 
 The full-scale skeletal validation (trained capstone weights, held-out
 eval distribution) runs via tools/validate_decode_backends.py against a
@@ -95,6 +97,19 @@ def test_backends_agree(trained, label, sprite_size, min_match):
     # the trained model must actually be reading the clip (guards against
     # a vacuous all-Unknown comparison)
     assert out["cv2"]["gt_agreement"] > 0.7, out
-    for name, r in out.items():
-        if r["vs_cv2"] is not None:
-            assert r["vs_cv2"] >= min_match, (label, name, r)
+    # Deployed configurations must match the cv2 baseline at the SAME
+    # stride (validate() compares stride rows against cv2+stride2:
+    # propagation vs per-frame differences at action boundaries belong
+    # to the stride mode, not the backend under test).  The fixed
+    # lowres1/lowres2 rows are diagnostics: they degrade by design when
+    # the decoded crop region falls below the model input size (measured
+    # at scale with the 27-class capstone model — that's what the auto
+    # policy prevents), so they are reported but not gated here.
+    for name in ("native", "native+yuv", "native+yuv+auto",
+                 "native+yuv+auto+stride2"):
+        r = out[name]
+        assert r["vs_cv2"] >= min_match, (label, name, r)
+    # far-zoom boxes must force full-res decode; the auto policy picking
+    # lowres>0 here would be the exact silent-label-flip failure mode.
+    if label == "farzoom":
+        assert out["native+yuv+auto"]["lowres"] == 0, out

@@ -246,3 +246,33 @@ def test_ocr_segmentation_bridges_codec_fragmentation():
     ok, (value, raw, conf, details) = TemplateDigitOCR()(bgr)
     assert ok
     assert value == 143.0, raw
+
+
+def test_auto_lowres_policy():
+    from playaid_core_tpu.infer.vod_pipeline import auto_lowres
+
+    w, h, crop, pad = 1920, 1080, 128, 30
+
+    def boxes(px):
+        b = np.zeros((10, 2, 4), np.float32)
+        b[..., 2] = px / w
+        b[..., 3] = px / h
+        b[..., :2] = 0.5
+        return b
+
+    # side = px + 2*pad.  600px box -> side 660: /2=330 >= 128, /4=165 >= 128
+    assert auto_lowres(boxes(600), w, h, crop, pad) == 2
+    # 260px box -> side 320: /2=160 >= 128, /4=80 < 128
+    assert auto_lowres(boxes(260), w, h, crop, pad) == 1
+    # 120px box -> side 180: /2=90 < 128 -> full-res only
+    assert auto_lowres(boxes(120), w, h, crop, pad) == 0
+    # codec clamp wins
+    assert auto_lowres(boxes(600), w, h, crop, pad, max_lowres=1) == 1
+    # the SMALLEST real box governs: one far-zoom stretch disables lowres
+    mixed = boxes(600)
+    mixed[7, 1, 2:] = (120 / w, 120 / h)
+    assert auto_lowres(mixed, w, h, crop, pad) == 0
+    # degenerate (absent-fighter) boxes are ignored, empty set -> 0
+    mixed[7, 1, 2:] = 0.0
+    assert auto_lowres(mixed, w, h, crop, pad) == 2
+    assert auto_lowres(np.zeros((4, 2, 4), np.float32), w, h, crop, pad) == 0

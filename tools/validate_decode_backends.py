@@ -68,26 +68,42 @@ def validate(pipe, variables, actions, video, gt_boxes, gt_labels,
         ("cv2", dict(decode_backend="cv2")),
         ("native", dict(decode_backend="native", transfer_format="bgr")),
         ("native+yuv", dict(decode_backend="native")),
+        # The deployed policy: pick the largest label-safe lowres from the
+        # measured box sizes (vod_pipeline.auto_lowres).
+        ("native+yuv+auto", dict(decode_backend="native", lowres="auto")),
+        # Fixed-lowres diagnostics: expected to DEGRADE when the decoded
+        # crop region falls below the model input size (that measurement
+        # is why the auto policy exists).
         ("native+yuv+lowres1", dict(decode_backend="native", lowres=1)),
         ("native+yuv+lowres2", dict(decode_backend="native", lowres=2)),
-        ("native+yuv+lowres1+stride2",
-         dict(decode_backend="native", lowres=1, stride=2)),
+        # Stride rows compare against a cv2 baseline with the SAME stride:
+        # label propagation legitimately differs from per-frame
+        # classification at action boundaries, and that is a property of
+        # the stride mode, not of the decode backend under test.
+        ("cv2+stride2", dict(decode_backend="cv2", stride=2)),
+        ("native+yuv+auto+stride2",
+         dict(decode_backend="native", lowres="auto", stride=2)),
     ]
     out = {}
-    base_labels = None
+    base_labels = {}  # stride -> cv2 labels at that stride
     for name, kw in configs:
         an = VodAnalyzer(pipe, variables=variables, chunk=chunk,
                          padding=padding, **kw)
         res = an.analyze(video, gt_boxes)
         acc = agreement(res["labels"])
+        stride = kw.get("stride", 1)
         same = None
-        if base_labels is None:
-            base_labels = res["labels"]
+        if name.startswith("cv2"):
+            base_labels[stride] = res["labels"]
+            if stride != 1:  # stride baselines also report vs stride-1 cv2
+                same = float((res["labels"] == base_labels[1]).mean())
         else:
-            same = float((res["labels"] == base_labels).mean())
-        out[name] = {"gt_agreement": acc, "vs_cv2": same}
+            same = float((res["labels"] == base_labels[stride]).mean())
+        out[name] = {"gt_agreement": acc, "vs_cv2": same,
+                     "lowres": res.get("lowres")}
         log(f"{name}: gt-agreement {acc:.2%}"
-            + (f", label-match vs cv2 {same:.2%}" if same is not None else ""))
+            + (f", label-match vs cv2 {same:.2%}" if same is not None else "")
+            + (f" [lowres={res['lowres']}]" if "auto" in name else ""))
     return out
 
 
