@@ -21,6 +21,9 @@ trained subset; constants.py:51 six characters):
 Run on TPU:  python -u tools/pixels_capstone.py [workdir]
 Env budget knobs: DET_STEPS, DET_COMPOSITES, ACT_EPOCHS, ACT_STEPS,
 EVAL_FRAMES, EVAL_PAIRS, SMALL_EVAL (0/1).
+Warm-restart fine-tune (``--phase finetune``): ACT_FT_EPOCHS,
+ACT_FT_LR, ACT_FT_DIFFICULTY — continues action_state.pkl on a second
+lower-peak cosine cycle, then re-run ``--phase eval``.
 Appends a scored record to docs/pixels_stack_runs.jsonl.
 """
 
@@ -581,23 +584,13 @@ def phase_detector(workdir, det_steps, det_composites, verbose=True):
     print("detector saved")
 
 
-def phase_action(workdir, act_epochs, act_steps, act_batch):
-    """Train the flagship ResFormer (T=7, delta=3, 128px); save
-    action_state.pkl."""
-    import pickle
-
-    import jax
-    import jax.numpy as jnp
-
+def _make_action_dataset(workdir, num_samples, difficulty=1):
     from playaid_core_tpu.train.dataset import UltActionRecogDataset
-    from playaid_core_tpu.train.train import Trainer, TrainerConfig
 
-    _warm_tunnel()
-    _heartbeat()
     clean, stages = phase_assets(workdir)
     fighters = list(sk.FIGHTER_STYLES)
-    action_ds = UltActionRecogDataset(
-        split="synth", num_samples=act_steps * act_batch, img_dimension=128,
+    return UltActionRecogDataset(
+        split="synth", num_samples=num_samples, img_dimension=128,
         anim_subset=ACTIONS, num_frames_per_sample=7, frame_delta=[3],
         char_subset=fighters, crop_size=128, seed=0,
         gt_root_train=os.path.join(workdir, "none"),
@@ -621,8 +614,23 @@ def phase_action(workdir, act_epochs, act_steps, act_batch):
         # is never exercised until the curriculum bumps — and a late
         # bump at decayed LR collapsed train acc 0.90 -> 0.40 with no
         # time to re-converge (round-3 r3 run).
-        synth_difficulty=1,
+        synth_difficulty=difficulty,
     )
+
+
+def phase_action(workdir, act_epochs, act_steps, act_batch):
+    """Train the flagship ResFormer (T=7, delta=3, 128px); save
+    action_state.pkl."""
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+
+    from playaid_core_tpu.train.train import Trainer, TrainerConfig
+
+    _warm_tunnel()
+    _heartbeat()
+    action_ds = _make_action_dataset(workdir, act_steps * act_batch)
     config = TrainerConfig(
         family="resformer", num_actions=len(ACTIONS), sequence_length=7,
         batch_size=act_batch, learning_rate=3e-4,
@@ -647,6 +655,70 @@ def phase_action(workdir, act_epochs, act_steps, act_batch):
             "train_accs": accs,
         }, f)
     print("action model saved")
+
+
+def phase_action_finetune(workdir, ft_epochs, act_steps, act_batch, ft_lr):
+    """Continue training action_state.pkl on a second, lower-peak cosine
+    cycle.
+
+    The from-scratch phase plateaus at train acc ~0.87 with its cosine
+    budget exhausted, and the remaining eval errors are persistent
+    per-(fighter, move) blocks — model error, not decode error (capstone
+    r6: DownAir->Wait x91, Dash->DashAttack x67 on one pair survive every
+    decode config).  A warm restart at a reduced peak LR buys additional
+    fit without re-running the full from-scratch phase.  The previous
+    state is kept as action_state_pre_ft.pkl.
+    """
+    import pickle
+    import shutil
+
+    import jax
+    import jax.numpy as jnp
+
+    from playaid_core_tpu.train.train import Trainer, TrainerConfig
+
+    _warm_tunnel()
+    _heartbeat()
+    path = os.path.join(workdir, "action_state.pkl")
+    with open(path, "rb") as f:
+        saved = pickle.load(f)
+    accs_prev = saved.get("train_accs") or []
+    print(f"fine-tuning from action_state.pkl "
+          f"(prev train acc tail: {accs_prev[-5:]})")
+
+    action_ds = _make_action_dataset(
+        workdir, act_steps * act_batch,
+        difficulty=int(os.environ.get("ACT_FT_DIFFICULTY", "1")),
+    )
+    config = TrainerConfig(
+        family="resformer", num_actions=len(ACTIONS), sequence_length=7,
+        batch_size=act_batch, learning_rate=ft_lr,
+        num_samples=act_steps * act_batch, crop_size=128,
+        curriculum_threshold=0.88, dtype=jnp.bfloat16,
+        lr_decay_steps=ft_epochs * act_steps,
+        warmup_steps=100,
+        verbose=True,
+    )
+    trainer = Trainer(config, action_ds)
+    trainer.init_state()
+    trainer.state = trainer.state.replace(
+        params=jax.device_put(saved["params"]),
+        batch_stats=jax.device_put(saved["batch_stats"]),
+    )
+    trainer.fit(num_epochs=ft_epochs, steps_per_epoch=act_steps)
+    accs = [round(r["train_acc"], 3) for r in trainer.metrics_log]
+    print("fine-tune train acc:", accs[-10:])
+
+    backup = os.path.join(workdir, "action_state_pre_ft.pkl")
+    if not os.path.exists(backup):
+        shutil.copyfile(path, backup)
+    with open(path, "wb") as f:
+        pickle.dump({
+            "params": jax.device_get(trainer.state.params),
+            "batch_stats": jax.device_get(trainer.state.batch_stats),
+            "train_accs": accs_prev + accs,
+        }, f)
+    print("fine-tuned action model saved")
 
 
 def phase_eval(workdir, det_steps, det_composites, act_epochs, act_steps,
@@ -887,6 +959,13 @@ def main():
         phase_detector(workdir, det_steps, det_composites)
     elif phase == "action":
         phase_action(workdir, act_epochs, act_steps, act_batch)
+    elif phase == "finetune":
+        phase_action_finetune(
+            workdir,
+            ft_epochs=int(env("ACT_FT_EPOCHS", "80")),
+            act_steps=act_steps, act_batch=act_batch,
+            ft_lr=float(env("ACT_FT_LR", "1.2e-4")),
+        )
     elif phase == "eval":
         phase_eval(
             workdir, det_steps, det_composites, act_epochs, act_steps,
