@@ -117,6 +117,27 @@ def main():
         log("generating synthetic 1080p60 VOD...")
         make_test_video(video_path, num_frames)
 
+    # Real VODs are h264 (the reference ingests h264 via cv2,
+    # manuscript.py:70), so the HEADLINE runs on an h264 fixture through
+    # the deployed defaults: auto-lowres (h264 has no fractional decode —
+    # clamps to full-res) + auto fast-decode (skip the in-loop deblock,
+    # label-validated in tests/test_decode_backend_agreement.py) +
+    # label-stride.  The mpeg4 (mp4v) fixture rides alongside, where
+    # fractional lowres does apply.
+    h264_path = None
+    try:
+        from playaid_core_tpu.video import native_encoder
+
+        if native_encoder.available():
+            h264_path = video_path.replace(".mp4", "_h264.mp4")
+            if not os.path.exists(h264_path):
+                log("transcoding bench VOD to h264 (one-time fixture)...")
+                native_encoder.transcode(video_path, h264_path, crf=20)
+    except Exception as e:  # noqa: BLE001
+        log(f"h264 fixture unavailable ({e}); headline falls back to mpeg4")
+    headline_path = h264_path or video_path
+    headline_codec = "h264" if h264_path else "mpeg4"
+
     boxes = fighter_boxes(num_frames)
     dtype = jnp.bfloat16 if backend == "tpu" else jnp.float32
     pipe = BatchedActionPipeline(
@@ -135,18 +156,20 @@ def main():
     # Warm up compiles outside the timed region (full length so every
     # program shape the timed run needs is already compiled).
     log("warming up (compile)...")
-    warm = analyzer.analyze(video_path, boxes)
+    warm = analyzer.analyze(headline_path, boxes)
     log(f"warm-up fps: {warm['fps']:.1f}")
 
-    log(f"running timed pipeline (median of {timed_runs})...")
-    results = [analyzer.analyze(video_path, boxes) for _ in range(timed_runs)]
+    log(f"running timed pipeline on {headline_codec} "
+        f"(median of {timed_runs})...")
+    results = [analyzer.analyze(headline_path, boxes) for _ in range(timed_runs)]
     run_fps = sorted(round(r["fps"], 1) for r in results)
     fps = run_fps[len(run_fps) // 2]  # median
-    # Effective decode factor after "auto" resolution / codec clamp.
+    # Effective decode modes after "auto" resolution / codec clamp.
     eff_lowres = results[0].get("lowres", 0)
+    eff_fast = results[0].get("fast", 0)
     log(f"frames: {results[0]['frames']}, fps median: {fps:.1f}, "
         f"realtime-x: {fps / 60:.2f} (runs: {run_fps}, "
-        f"effective lowres: {eff_lowres})")
+        f"effective lowres: {eff_lowres}, fast: {eff_fast})")
 
     def median_fps(an, path, bxs, runs=2):
         an.variables = analyzer.variables  # share weights + compiled embeds
@@ -154,54 +177,53 @@ def main():
         rs = sorted(round(an.analyze(path, bxs)["fps"], 1) for _ in range(runs))
         return rs[len(rs) // 2]
 
-    # Per-frame classification (stride=1), same codec/lowres as headline:
-    # the honest per-frame number the round-2 verdict asked to carry in
-    # the JSON rather than only in docs.
+    # Per-frame classification (stride=1), same codec/decode mode as the
+    # headline: the honest per-frame number the round-2 verdict asked to
+    # carry in the JSON rather than only in docs.
     log("measuring stride=1 per-frame configuration...")
     stride1_fps = median_fps(
         VodAnalyzer(pipe, window=384, padding=30, chunk=chunk,
                     host_resize=True, lowres=lowres, stride=1),
-        video_path, boxes,
+        headline_path, boxes,
     )
     log(f"stride=1 fps: {stride1_fps:.1f}")
 
-    # h264: the codec real VODs use (reference ingests h264 via cv2,
-    # manuscript.py:70).  h264 has no fractional-decode lowres — the
-    # decoder clamps it — so this measures the full-res h264 decode path.
-    # The fixture is transcoded once with the native libx264 encoder.
-    h264_fps = h264_stride1_fps = h264_fast_fps = None
-    try:
-        from playaid_core_tpu.video import native_encoder
+    # Spec-exact decode on the headline codec (fast-decode off): what the
+    # deblock skip is worth, and the conservative number.
+    exact_fps = None
+    if headline_codec == "h264":
+        log("measuring spec-exact h264 (fast-decode off)...")
+        exact_fps = median_fps(
+            VodAnalyzer(pipe, window=384, padding=30, chunk=chunk,
+                        host_resize=True, lowres=lowres, stride=stride,
+                        fast_decode=False),
+            headline_path, boxes,
+        )
+        log(f"h264 spec-exact fps: {exact_fps:.1f}")
 
-        if native_encoder.available():
-            h264_path = video_path.replace(".mp4", "_h264.mp4")
-            if not os.path.exists(h264_path):
-                log("transcoding bench VOD to h264 (one-time fixture)...")
-                native_encoder.transcode(video_path, h264_path, crf=20)
-            log("measuring h264 (full-res decode; lowres clamps)...")
-            h264_fps = median_fps(
-                VodAnalyzer(pipe, window=384, padding=30, chunk=chunk,
-                            host_resize=True, lowres=lowres, stride=stride),
-                h264_path, boxes,
-            )
-            h264_stride1_fps = median_fps(
-                VodAnalyzer(pipe, window=384, padding=30, chunk=chunk,
-                            host_resize=True, lowres=lowres, stride=1),
-                h264_path, boxes,
-            )
-            # h264's reduced-cost decode mode (no fractional lowres):
-            # skip the in-loop deblocking filter.  Pixel-validated close
-            # to exact decode (tests/test_native_decoder.py).
-            h264_fast_fps = median_fps(
-                VodAnalyzer(pipe, window=384, padding=30, chunk=chunk,
-                            host_resize=True, lowres=lowres, stride=stride,
-                            fast_decode=True),
-                h264_path, boxes,
-            )
-            log(f"h264 fps: {h264_fps:.1f} (stride=1: {h264_stride1_fps:.1f}, "
-                f"fast-decode: {h264_fast_fps:.1f})")
+    # mpeg4 (mp4v) rows: the codec where fractional lowres decode applies
+    # (auto picks the largest label-safe factor from the box sizes).
+    mpeg4_fps = mpeg4_stride1_fps = None
+    mpeg4_lowres = None
+    try:
+        log("measuring mpeg4 (fractional-lowres codec)...")
+        an4 = VodAnalyzer(pipe, window=384, padding=30, chunk=chunk,
+                          host_resize=True, lowres=lowres, stride=stride)
+        an4.variables = analyzer.variables
+        r4 = an4.analyze(video_path, boxes)  # warm
+        mpeg4_lowres = r4.get("lowres", 0)
+        rs = sorted(round(an4.analyze(video_path, boxes)["fps"], 1)
+                    for _ in range(2))
+        mpeg4_fps = rs[len(rs) // 2]
+        mpeg4_stride1_fps = median_fps(
+            VodAnalyzer(pipe, window=384, padding=30, chunk=chunk,
+                        host_resize=True, lowres=lowres, stride=1),
+            video_path, boxes,
+        )
+        log(f"mpeg4 fps: {mpeg4_fps:.1f} (stride=1: {mpeg4_stride1_fps:.1f}, "
+            f"lowres: {mpeg4_lowres})")
     except Exception as e:  # noqa: BLE001
-        log(f"h264 measurement skipped: {e}")
+        log(f"mpeg4 measurement skipped: {e}")
 
     # Multi-VOD aggregate (the reference's scale story is 7 concurrent
     # VOD processes, multi_manuscript.sh): N jobs through analyze_many
@@ -212,7 +234,7 @@ def main():
         from playaid_core_tpu.infer.vod_pipeline import analyze_many
 
         for n_jobs in (2, 4):
-            jobs = [(video_path, boxes)] * n_jobs
+            jobs = [(headline_path, boxes)] * n_jobs
             t0 = time.perf_counter()
             rs = analyze_many(jobs, pipeline=pipe, variables=analyzer.variables,
                               chunk=chunk, host_resize=True, lowres=lowres,
@@ -228,10 +250,13 @@ def main():
     baseline_fps = 1200.0  # 20x real-time 1080p60 (BASELINE.md target)
     print(json.dumps({
         # Mode folded into the headline metric name (round-2 advice): the
-        # fast configuration is the headline; the per-frame and h264
-        # numbers ride alongside.
+        # headline is the DEPLOYED configuration on the codec real VODs
+        # use (h264); per-frame, spec-exact and mpeg4 numbers ride
+        # alongside.
         "metric": ("1080p60 frames/sec/chip (decode+preprocess+2-fighter "
-                   f"action detect; mpeg4 lowres={eff_lowres}"
+                   f"action detect; {headline_codec}"
+                   f"{', fast-decode' if eff_fast else ''}"
+                   f", lowres={eff_lowres}"
                    f"{' auto-policy' if lowres == 'auto' else ''}, "
                    f"label-stride={stride})"),
         "value": fps,
@@ -240,26 +265,33 @@ def main():
         "runs": run_fps,
         "spread": round(run_fps[-1] - run_fps[0], 1),
         "stride1_fps": stride1_fps,
-        "h264_fps": h264_fps,
-        "h264_stride1_fps": h264_stride1_fps,
-        "h264_fast_fps": h264_fast_fps,
+        "h264_exact_fps": exact_fps,
+        "mpeg4_fps": mpeg4_fps,
+        "mpeg4_stride1_fps": mpeg4_stride1_fps,
+        "mpeg4_lowres": mpeg4_lowres,
         **multivod,
         "device_only_crops_per_sec": round(device_cps),
         "device_only_fps_2fighters": round(device_cps / 2),
         "decode_backend": "native" if native_decoder.available() else "cv2",
+        "codec": headline_codec,
         "lowres": eff_lowres,
         "lowres_policy": str(lowres),
+        "fast_decode": eff_fast,
         "stride": stride,
         # Mode disclosure: stride>1 propagates each classified frame's
         # label to the frames in between (the reference's GT videos are
         # 30 fps vs the 60 fps log); lowres>0 is fractional decode where
-        # the codec supports it (mpeg4 yes, h264 no — h264 rows decode
+        # the codec supports it (mpeg4 yes, h264 no — h264 decodes
         # full-res), applied only while the decoded crop region stays >=
         # the model input size (label-safe by measurement, see
-        # vod_pipeline.auto_lowres).  BENCH_STRIDE=1 BENCH_LOWRES=0
-        # measures the conservative configuration end to end.
-        "mode": f"scale-at-decode lowres={eff_lowres} (policy {lowres}), "
-                f"label-stride={stride}",
+        # vod_pipeline.auto_lowres); fast-decode skips h264's in-loop
+        # deblock (label agreement gated in
+        # tests/test_decode_backend_agreement.py).  BENCH_STRIDE=1
+        # BENCH_LOWRES=0 measures the conservative configuration e2e;
+        # h264_exact_fps is the spec-exact-decode headline-codec number.
+        "mode": (f"{headline_codec} fast={eff_fast}, scale-at-decode "
+                 f"lowres={eff_lowres} (policy {lowres}), "
+                 f"label-stride={stride}"),
     }))
 
 

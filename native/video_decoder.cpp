@@ -110,6 +110,23 @@ extern "C" {
 // filter and enables the codec's non-spec-compliant speedups.  The model
 // consumes 128px-resampled crops, so the pixel deltas are sub-visible
 // there; label agreement vs the exact path is validated by tests.
+// fast == 2 means "auto": apply the fast flags only when the stream's
+// codec actually has an in-loop deblocking filter (h264/hevc/vp8/vp9/av1)
+// — on mpeg4 and friends the flags are at best no-ops and FLAG2_FAST can
+// change decoder behavior for no speedup, so auto leaves them exact.
+static bool codec_has_inloop_deblock(AVCodecID id) {
+  switch (id) {
+    case AV_CODEC_ID_H264:
+    case AV_CODEC_ID_HEVC:
+    case AV_CODEC_ID_VP8:
+    case AV_CODEC_ID_VP9:
+    case AV_CODEC_ID_AV1:
+      return true;
+    default:
+      return false;
+  }
+}
+
 void* vd_open_ex(const char* path, int lowres, int fast) {
   Decoder* d = new Decoder();
   d->fast = fast;
@@ -134,6 +151,8 @@ void* vd_open_ex(const char* path, int lowres, int fast) {
     // Fractional decode where the codec supports it (mpeg4: max_lowres 3).
     d->lowres = std::min(lowres, (int)dec->max_lowres);
     if (d->lowres > 0) d->codec->lowres = d->lowres;
+    if (d->fast == 2)  // auto: fast only where an in-loop deblock exists
+      d->fast = codec_has_inloop_deblock(dec->id) ? 1 : 0;
     if (d->fast) {
       d->codec->skip_loop_filter = AVDISCARD_ALL;
       d->codec->flags2 |= AV_CODEC_FLAG2_FAST;
@@ -169,6 +188,9 @@ void* vd_open(const char* path, int lowres) {
 int vd_full_width(void* h) { return ((Decoder*)h)->full_w; }
 int vd_full_height(void* h) { return ((Decoder*)h)->full_h; }
 int vd_lowres(void* h) { return ((Decoder*)h)->lowres; }
+// Effective fast mode after "auto" (2) resolution: 1 if the fast flags
+// were applied to this stream's codec, else 0.
+int vd_fast(void* h) { return ((Decoder*)h)->fast; }
 double vd_fps(void* h) { return ((Decoder*)h)->fps; }
 long vd_num_frames(void* h) { return (long)((Decoder*)h)->nb_frames; }
 

@@ -379,7 +379,7 @@ class VodAnalyzer:
     def __init__(self, pipeline: BatchedActionPipeline | None = None, variables=None,
                  window=384, padding=30, chunk=48, decode_workers=None,
                  host_resize=True, mesh=None, decode_backend="auto", lowres=0,
-                 stride=1, transfer_format="auto", fast_decode=False):
+                 stride=1, transfer_format="auto", fast_decode="auto"):
         self.pipeline = pipeline or BatchedActionPipeline(family="cnn")
         self.variables = variables
         self.window = window
@@ -401,7 +401,12 @@ class VodAnalyzer:
         self.lowres = lowres
         # fast_decode: skip the codec's in-loop deblocking filter (native
         # backend only) — the reduced-cost decode mode for h264, which has
-        # no fractional lowres.  Label agreement validated by tests.
+        # no fractional lowres.  "auto" (the deployed default) applies it
+        # only on codecs that actually have an in-loop deblock (h264/hevc/
+        # vp8/vp9/av1) and keeps every other codec spec-exact; True forces
+        # it, False disables.  Label agreement validated by
+        # tests/test_decode_backend_agreement.py with trained weights;
+        # pixel deltas by tests/test_native_decoder.py.
         self.fast_decode = fast_decode
         # stride: classify every stride-th frame and propagate its label to
         # the frames in between (the reference's own GT videos are 30 fps
@@ -477,20 +482,26 @@ class VodAnalyzer:
             raise ValueError("transfer_format='yuv420' requires the native decoder")
 
         lowres = self.lowres if isinstance(self.lowres, int) else 0
-        if use_native and (self.lowres == "auto" or lowres > 0):
+        eff_fast = 1 if self.fast_decode is True else 0
+        if use_native and (self.lowres == "auto" or lowres > 0
+                           or self.fast_decode == "auto"):
             from playaid_core_tpu.video.native_decoder import NativeVideoDecoder
 
-            # One cheap probe open resolves the video dims and the codec's
-            # clamp (h264 has no fractional lowres); "auto" then picks the
-            # largest label-safe factor from the measured box sizes.
-            with NativeVideoDecoder(video_path, lowres=3) as probe:
+            # One cheap probe open resolves the video dims, the codec's
+            # lowres clamp (h264 has no fractional lowres) and the
+            # effective fast mode ("auto" fast applies only to codecs with
+            # an in-loop deblock); lowres "auto" then picks the largest
+            # label-safe factor from the measured box sizes.
+            with NativeVideoDecoder(video_path, lowres=3,
+                                    fast=self.fast_decode) as probe:
                 codec_max = probe.lowres
+                eff_fast = probe.fast
                 if self.lowres == "auto":
                     lowres = auto_lowres(
                         boxes[:f_total], probe.width, probe.height,
                         crop_size, self.padding, max_lowres=codec_max,
                     )
-                else:
+                elif self.lowres:
                     lowres = min(self.lowres, codec_max)
 
         if self.host_resize:
@@ -671,6 +682,7 @@ class VodAnalyzer:
             # Effective decode mode this run (after "auto" resolution and
             # the codec's lowres clamp) — callers/benches report it.
             "lowres": lowres if use_native else 0,
+            "fast": eff_fast if use_native else 0,
             "backend": "native" if use_native else "cv2",
         }
 

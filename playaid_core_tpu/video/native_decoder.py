@@ -65,6 +65,8 @@ def get_library():
         lib.vd_full_height.argtypes = [ctypes.c_void_p]
         lib.vd_lowres.restype = ctypes.c_int
         lib.vd_lowres.argtypes = [ctypes.c_void_p]
+        lib.vd_fast.restype = ctypes.c_int
+        lib.vd_fast.argtypes = [ctypes.c_void_p]
         lib.vd_fps.restype = ctypes.c_double
         lib.vd_fps.argtypes = [ctypes.c_void_p]
         lib.vd_num_frames.restype = ctypes.c_long
@@ -101,12 +103,17 @@ class NativeVideoDecoder:
         # non-spec-compliant speedups (AV_CODEC_FLAG2_FAST).  The honest
         # reduced-cost mode for h264, which has no fractional lowres;
         # pixel deltas are sub-visible after the 128px crop resample and
-        # label agreement is test-validated (test_native_decoder).
+        # label agreement is test-validated (test_native_decoder,
+        # test_decode_backend_agreement).  fast="auto" applies the flags
+        # only when the stream's codec has an in-loop deblock (h264/hevc/
+        # vp8/vp9/av1) and leaves other codecs spec-exact; the `fast`
+        # property reports the effective mode.
         lib = get_library()
         if lib is None:
             raise RuntimeError("native video decoder unavailable")
         self._lib = lib
-        self._h = lib.vd_open_ex(path.encode(), int(lowres), int(bool(fast)))
+        fast_flag = 2 if fast == "auto" else int(bool(fast))
+        self._h = lib.vd_open_ex(path.encode(), int(lowres), fast_flag)
         if not self._h:
             raise RuntimeError(f"could not open video: {path}")
 
@@ -121,6 +128,12 @@ class NativeVideoDecoder:
     @property
     def lowres(self):
         return self._lib.vd_lowres(self._h)
+
+    @property
+    def fast(self):
+        """Effective fast mode after "auto" resolution (1 = fast flags
+        applied to this stream's codec, 0 = spec-exact decode)."""
+        return self._lib.vd_fast(self._h)
 
     @property
     def fps(self):

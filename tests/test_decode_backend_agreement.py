@@ -80,11 +80,16 @@ def trained(tmp_path_factory):
     return str(root), stages, pipe, variables
 
 
-@pytest.mark.parametrize("label,sprite_size,min_match", [
-    ("normal", 110, 0.97),
-    ("farzoom", 48, 0.95),
+@pytest.mark.parametrize("label,sprite_size,min_match,min_crosscodec", [
+    ("normal", 110, 0.97, 0.90),
+    # far-zoom: a crf-20 transcode generation on ~48px sprites
+    # legitimately moves more boundary labels of the quickly-trained toy
+    # model, so the cross-codec sanity bound is looser (the gated
+    # quantity — fast-decode vs spec-exact on the SAME file — stays
+    # at 0.99 for both clips).
+    ("farzoom", 48, 0.95, 0.80),
 ])
-def test_backends_agree(trained, label, sprite_size, min_match):
+def test_backends_agree(trained, label, sprite_size, min_match, min_crosscodec):
     root, stages, pipe, variables = trained
     from tools.e2e_pixels_demo import ACTIONS, make_eval_video
     from tools.validate_decode_backends import validate
@@ -109,6 +114,18 @@ def test_backends_agree(trained, label, sprite_size, min_match):
                  "native+yuv+auto+stride2"):
         r = out[name]
         assert r["vs_cv2"] >= min_match, (label, name, r)
+    # h264 rows (present when the native encoder builds).  The deployed
+    # fast-decode="auto" (skip in-loop deblock) is gated against the
+    # spec-exact decode of the SAME h264 file — that isolates exactly
+    # the deblock skip.  The cross-codec row (h264+exact vs the mpeg4
+    # cv2 baseline) folds in one crf-20 encode generation, which
+    # legitimately moves boundary labels of this quickly-trained toy
+    # model, so it gets a looser sanity bound.
+    if "h264+fast" in out:
+        assert out["h264+fast"]["vs_exact"] >= 0.99, out["h264+fast"]
+        assert out["h264+fast"]["fast"] == 1, out["h264+fast"]
+        assert out["h264+exact"]["fast"] == 0, out["h264+exact"]
+        assert out["h264+exact"]["vs_cv2"] >= min_crosscodec, out["h264+exact"]
     # far-zoom boxes must force full-res decode; the auto policy picking
     # lowres>0 here would be the exact silent-label-flip failure mode.
     if label == "farzoom":

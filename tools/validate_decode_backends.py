@@ -84,12 +84,36 @@ def validate(pipe, variables, actions, video, gt_boxes, gt_labels,
         ("native+yuv+auto+stride2",
          dict(decode_backend="native", lowres="auto", stride=2)),
     ]
+    # h264 rows: the codec real VODs use.  Transcode the eval clip once
+    # (native libx264 encoder) and run the deployed configuration against
+    # the SAME cv2 baselines — a cross-codec gate: one encode generation
+    # plus the fast-decode (skip in-loop deblock) pixel deltas must not
+    # move labels.  fast="auto" resolves to ON for h264.
+    h264_path = None
+    try:
+        from playaid_core_tpu.video import native_encoder
+
+        if native_encoder.available():
+            h264_path = os.path.splitext(video)[0] + "_h264.mp4"
+            if not os.path.exists(h264_path):
+                native_encoder.transcode(video, h264_path, crf=20)
+            configs += [
+                ("h264+exact", dict(decode_backend="native",
+                                    lowres="auto", fast_decode=False)),
+                ("h264+fast", dict(decode_backend="native", lowres="auto",
+                                   fast_decode="auto")),
+            ]
+    except Exception as e:  # noqa: BLE001 — encoder is optional
+        log(f"h264 rows skipped: {e}")
     out = {}
     base_labels = {}  # stride -> cv2 labels at that stride
+    all_labels = {}   # name -> labels (for same-codec comparisons)
     for name, kw in configs:
         an = VodAnalyzer(pipe, variables=variables, chunk=chunk,
                          padding=padding, **kw)
-        res = an.analyze(video, gt_boxes)
+        res = an.analyze(h264_path if name.startswith("h264") else video,
+                         gt_boxes)
+        all_labels[name] = res["labels"]
         acc = agreement(res["labels"])
         stride = kw.get("stride", 1)
         same = None
@@ -100,9 +124,18 @@ def validate(pipe, variables, actions, video, gt_boxes, gt_labels,
         else:
             same = float((res["labels"] == base_labels[stride]).mean())
         out[name] = {"gt_agreement": acc, "vs_cv2": same,
-                     "lowres": res.get("lowres")}
+                     "lowres": res.get("lowres"), "fast": res.get("fast")}
+        # Isolate the fast-decode (skip in-loop deblock) delta from the
+        # transcode generation loss: compare against the spec-exact
+        # decode of the SAME h264 file (vs_cv2 is cross-codec and folds
+        # in one encode generation).
+        if name == "h264+fast" and "h264+exact" in all_labels:
+            out[name]["vs_exact"] = float(
+                (res["labels"] == all_labels["h264+exact"]).mean())
         log(f"{name}: gt-agreement {acc:.2%}"
             + (f", label-match vs cv2 {same:.2%}" if same is not None else "")
+            + (f", vs h264-exact {out[name]['vs_exact']:.2%}"
+               if "vs_exact" in out[name] else "")
             + (f" [lowres={res['lowres']}]" if "auto" in name else ""))
     return out
 
