@@ -33,7 +33,7 @@ import numpy as np
 
 TAU = 2 * math.pi
 
-# All 26 moves are members of the reference's 46-move trained subset
+# The reference's FULL 46-move trained subset
 # (reference: anim_ontology.py:612-659 TRAINED_ACTIONS_2_17).
 MOVES = [
     "Wait", "Walk", "Run", "Dash", "Squat", "Jump", "Fall",
@@ -41,6 +41,14 @@ MOVES = [
     "ForwardSmash", "UpSmash", "DownSmash",
     "NeutralAir", "ForwardAir", "BackAir", "UpAir", "DownAir",
     "NeutralSpecial", "Grab", "Shield", "SpotDodge", "Roll", "Turn",
+    # round-3 expansion to the complete subset:
+    "ForwardSpecial", "UpSpecial", "DownSpecial",
+    "GrabRelease", "Pummel",
+    "ForwardThrow", "BackThrow", "UpThrow", "DownThrow",
+    "SpecialFall", "AirDodge", "DownWait",
+    "TechInPlace", "TechRoll",
+    "LedgeHang", "LedgeAttack", "LedgeNormalGetUp", "LedgeRoll",
+    "LedgeJump", "NormalGetUp",
 ]
 
 
@@ -436,10 +444,214 @@ def pose_normalgetup(p):
                 legs=((0.4, 0.8 * (1 - r) + 0.2, 0.1), (-0.35, 0.9 * (1 - r) + 0.2, 0.1)))
 
 
+def pose_fspecial(p):
+    # committed forward lunge-thrust: deep lean, weapon held horizontal,
+    # back leg trailing straight — reads as travel, unlike Jab's
+    # standing extension or DashAttack's arms-back slide.
+    r = _ramp(p, 0.3)
+    a = 1.45 * r + 0.2
+    return Pose(lean=0.52 * r, crouch=0.26,
+                arms=((a, 0.15 * (1 - r), r), (-1.6 * r - 0.2, 0.3, 0.5)),
+                legs=((0.95 * r, 0.15, 0.7), (-1.15 * r - 0.1, 0.1, 0.8)),
+                weapon=a + 0.12, effects=[("speed", 0, 0)])
+
+
+def pose_uspecial(p):
+    # rising recovery burst: body arrow-straight, both arms fully up,
+    # legs together pointing down, launch burst at the feet.
+    h = min(1.0, p * 1.6)
+    return Pose(y_off=10 + 34 * h, crouch=0.0, lean=-0.05,
+                arms=((2.95, 0.05, 0.95), (-2.95, 0.05, 0.95)),
+                legs=((0.06, 0.02, 0.9), (-0.06, 0.02, 0.9)),
+                effects=[("burst", 0, -58, 9)])
+
+
+def pose_dspecial(p):
+    # grounded charge: wide low stance, arms rigid down-out diagonals,
+    # energy ring hugging the ground.
+    s = 0.05 * _swing(2 * p)
+    return Pose(crouch=0.5, lean=0.05,
+                arms=((0.62 + s, 0.05, 0.9), (-0.62 - s, 0.05, 0.9)),
+                legs=((0.65, 0.9, 0.15), (-0.65, 0.9, 0.15)),
+                effects=[("ring", 0, -30, 46 + 4 * _swing(p))])
+
+
+def pose_grabrelease(p):
+    # recoil from a broken grab: lean back, arms flung open wide,
+    # front leg bracing forward.
+    r = _ramp(p, 0.3)
+    return Pose(lean=-0.32 * r, crouch=0.18,
+                arms=((2.15 * r + 0.3, 0.2 * (1 - r), r),
+                      (-2.25 * r - 0.3, 0.2 * (1 - r), r)),
+                legs=((0.75 * r + 0.1, 0.15, 0.4), (-0.3, 0.45, 0.1)))
+
+
+def pose_pummel(p):
+    # holding with the back arm, front fist cycling punches with a hit
+    # burst at full extension (grab silhouette + punch cycle).
+    c = 0.5 + 0.5 * math.sin(TAU * 2 * p)  # two punches per cycle
+    eff = [("burst", 50, 44, 6)] if c > 0.85 else []
+    return Pose(lean=0.2,
+                arms=((1.5 * c + 0.35, 1.1 * (1 - c), c), (1.35, 0.1, 0.9)),
+                legs=((0.3, 0.2, 0.2), (-0.3, 0.25, 0.2)),
+                effects=eff)
+
+
+def pose_fthrow(p):
+    # hurl forward: both arms sweep forward-down, opponent blob flies
+    # out and away rising past head height.
+    r = _ramp(p, 0.4)
+    eff = [("proj", 26 + 26 * r, 26 + 26 * r, 12)] if p > 0.2 else []
+    return Pose(lean=0.45 * r, crouch=0.2,
+                arms=((1.15 * r + 0.3, 0.2 * (1 - r), r),
+                      (0.95 * r + 0.1, 0.25 * (1 - r), r)),
+                legs=((0.6 * r + 0.1, 0.15, 0.4), (-0.4, 0.35, 0.2)),
+                effects=eff)
+
+
+def pose_bthrow(p):
+    # twist and sling backward: torso rotates back, arms sweep behind,
+    # blob ejected rearward.
+    r = _ramp(p, 0.4)
+    eff = [("proj", -(26 + 24 * r), 28 + 22 * r, 12)] if p > 0.2 else []
+    return Pose(lean=-0.2 * r, body_rot=-0.28 * r, crouch=0.22,
+                arms=((-1.5 * r - 0.2, 0.2 * (1 - r), r),
+                      (-1.8 * r - 0.3, 0.2 * (1 - r), r)),
+                legs=((0.5 * r, 0.3, 0.2), (-0.65 * r - 0.1, 0.2, 0.4)),
+                effects=eff)
+
+
+def pose_uthrow(p):
+    # heave straight up: both arms vertical, blob launched overhead.
+    r = _ramp(p, 0.4)
+    eff = [("proj", 4, 58 + 20 * r, 12)] if p > 0.2 else []
+    return Pose(crouch=0.1 * (1 - r), lean=-0.08 * r,
+                arms=((3.0 * r + 0.4, 0.1 * (1 - r), r),
+                      (-3.0 * r - 0.4, 0.1 * (1 - r), r)),
+                legs=((0.2, 0.1, 0.4), (-0.2, 0.1, 0.4)),
+                effects=eff)
+
+
+def pose_dthrow(p):
+    # slam into the ground: fold forward, arms driving straight down,
+    # blob pinned at the feet with an impact burst.
+    r = _ramp(p, 0.45)
+    eff = [("proj", 30, -16, 12)] + ([("burst", 30, -24, 7)] if r > 0.9 else [])
+    return Pose(lean=0.78 * r, crouch=0.3,
+                arms=((0.45, 0.15 * (1 - r), r), (0.2, 0.2 * (1 - r), r)),
+                legs=((0.5 * r, 0.25, 0.3), (-0.45, 0.35, 0.2)),
+                effects=eff if p > 0.2 else [])
+
+
+def pose_specialfall(p):
+    # helpless fall: limp arms trailing down, legs dangling, head
+    # dropped — the anti-Fall (whose arms reach upward).
+    w = 0.12 * _swing(p)
+    return Pose(y_off=22, lean=0.22 + w, head_tilt=0.55, crouch=0.1,
+                arms=((0.5 + w, 0.5, 0.1), (-0.55 - w, 0.5, 0.1)),
+                legs=((0.35 + w, 0.75, 0.0), (-0.3 - w, 0.85, 0.0)))
+
+
+def pose_airdodge(p):
+    # airborne intangibility: tight tuck, translucent, dodge ring.
+    r = _ramp(p, 0.25)
+    return Pose(y_off=24, crouch=0.55, lean=0.2, alpha=1.0 - 0.45 * r,
+                arms=((1.1, 1.9, 0.0), (-1.1, 1.9, 0.0)),
+                legs=((0.7, 1.7, 0.0), (-0.7, 1.7, 0.0)),
+                effects=[("ring", 0, 18, 50)] + ([("ghost", -12, 0)] if r > 0.5 else []))
+
+
+def pose_downwait(p):
+    # lying on the ground (post-knockdown idle): body near-horizontal.
+    b = 0.03 * _swing(p)
+    return Pose(body_rot=1.32 + b, crouch=0.12, y_off=-26, head_tilt=-0.5,
+                arms=((0.7, 0.8, 0.2), (-0.4, 0.9, 0.1)),
+                legs=((0.35, 0.5, 0.1), (-0.3, 0.6, 0.1)))
+
+
+def pose_techinplace(p):
+    # instant recovery snap-up: rise from low with arms flared and a
+    # tech flash at the feet.
+    r = _ramp(p, 0.35)
+    eff = [("burst", 0, -60, 8)] if p < 0.45 else []
+    return Pose(crouch=0.65 * (1 - r) + 0.1, lean=0.25 * (1 - r),
+                arms=((2.2 * r + 0.5, 0.4 * (1 - r), r),
+                      (-2.2 * r - 0.5, 0.4 * (1 - r), r)),
+                legs=((0.4, 0.7 * (1 - r), 0.2), (-0.4, 0.7 * (1 - r), 0.2)),
+                effects=eff)
+
+
+def pose_techroll(p):
+    # recovery roll away: stretched horizontal dive close to the
+    # ground with speed streaks (Roll is an upright tucked ball).
+    return Pose(lean=1.05, crouch=0.55, y_off=2, head_tilt=0.3,
+                body_rot=0.35 * _swing(p),
+                arms=((1.9, 0.6, 0.5), (-0.9, 1.2, 0.1)),
+                legs=((-0.5, 0.9, 0.3), (-1.2, 0.4, 0.6)),
+                effects=[("speed", 0, 0)])
+
+
+def pose_ledgeattack(p):
+    # swing up from the ledge with a rising kick and an attack arc.
+    r = _ramp(p, 0.45)
+    eff = [("arc", 52, 30, 40, -60, 60)] if r > 0.8 else []
+    return Pose(y_off=12 - 4 * r, lean=0.15 + 0.2 * r, crouch=0.15,
+                arms=((2.85, 0.1, 0.9), (1.0 * r - 0.3, 0.5, 0.3)),
+                legs=((1.55 * r + 0.2, 0.4 * (1 - r), r), (-0.25, 0.75, 0.0)),
+                effects=eff)
+
+
+def pose_ledgenormalgetup(p):
+    # climb back onto the stage: pull with the grip arm, step up and
+    # lean over the lip.
+    r = _ramp(p, 0.7)
+    return Pose(y_off=14 + 10 * r, lean=0.55 * r + 0.1, crouch=0.3 * (1 - r) + 0.1,
+                arms=((2.9 - 2.3 * r, 0.15, 0.8), (2.5 - 2.6 * r, 0.3, 0.4)),
+                legs=((1.25 * r + 0.2, 0.8 * (1 - r), 0.3), (-0.25, 0.7, 0.0)))
+
+
+def pose_ledgeroll(p):
+    # roll over the ledge onto the stage: airborne tuck spin with
+    # streaks (higher and streaked vs the grounded Roll).
+    return Pose(body_rot=TAU * p, crouch=0.95, y_off=18, head_tilt=0.6,
+                arms=((1.3, 2.2, 0.0), (-1.3, 2.2, 0.0)),
+                legs=((0.9, 2.3, 0.0), (-0.9, 2.3, 0.0)),
+                effects=[("speed", 0, 0), ("ghost", -10, 0)])
+
+
+def pose_ledgejump(p):
+    # leap up from the hang: asymmetric reach (grip arm stays high,
+    # free arm drives out), strong rise with a kick-off burst.
+    h = min(1.0, p * 1.4)
+    return Pose(y_off=16 + 36 * h, crouch=0.1, lean=-0.12,
+                arms=((2.95, 0.05, 0.95), (-1.4, 0.3, 0.6)),
+                legs=((0.9, 1.3, 0.1), (-0.15, 0.2, 0.6)),
+                effects=[("burst", -6, -50, 8)] if p < 0.4 else [])
+
+
+def pose_appeal(p):
+    # taunt: one arm waving overhead, hip cocked — deliberately unlike
+    # any attack.
+    s = _swing(2 * p)
+    return Pose(lean=-0.12, crouch=0.12, head_tilt=-0.3,
+                arms=((2.7 + 0.3 * s, 0.25, 0.7), (-0.25, 1.4, 0.0)),
+                legs=((0.45, 0.15, 0.3), (-0.1, 0.4, 0.0)))
+
+
+def pose_tumble(p):
+    # hitstun tumble: uncontrolled airborne spin, limbs loose.
+    return Pose(y_off=24, body_rot=TAU * p + 0.7, crouch=0.25,
+                head_tilt=0.4,
+                arms=((1.7, 0.8, 0.3), (-2.1, 0.6, 0.3)),
+                legs=((0.9, 0.9, 0.2), (-1.1, 0.5, 0.3)))
+
+
 # Extra moves OUTSIDE the trained subset: sprite sources for the
 # "Unknown" class (the reference's untrained-move bucket,
-# ai_runner.py:164-168 actions list vs anim_ontology trained subset).
-EXTRA_MOVES = ["LedgeHang", "NormalGetUp"]
+# ai_runner.py:164-168 actions list vs anim_ontology trained subset —
+# Appeal/taunt and the hitstun tumble are real actions the reference
+# never trained).
+EXTRA_MOVES = ["Appeal", "Tumble"]
 
 POSE_FUNCS = {
     "LedgeHang": pose_ledgehang, "NormalGetUp": pose_normalgetup,
@@ -452,6 +664,18 @@ POSE_FUNCS = {
     "UpAir": pose_uair, "DownAir": pose_dair,
     "NeutralSpecial": pose_nspecial, "Grab": pose_grab, "Shield": pose_shield,
     "SpotDodge": pose_spotdodge, "Roll": pose_roll, "Turn": pose_turn,
+    "ForwardSpecial": pose_fspecial, "UpSpecial": pose_uspecial,
+    "DownSpecial": pose_dspecial,
+    "GrabRelease": pose_grabrelease, "Pummel": pose_pummel,
+    "ForwardThrow": pose_fthrow, "BackThrow": pose_bthrow,
+    "UpThrow": pose_uthrow, "DownThrow": pose_dthrow,
+    "SpecialFall": pose_specialfall, "AirDodge": pose_airdodge,
+    "DownWait": pose_downwait,
+    "TechInPlace": pose_techinplace, "TechRoll": pose_techroll,
+    "LedgeAttack": pose_ledgeattack,
+    "LedgeNormalGetUp": pose_ledgenormalgetup,
+    "LedgeRoll": pose_ledgeroll, "LedgeJump": pose_ledgejump,
+    "Appeal": pose_appeal, "Tumble": pose_tumble,
 }
 
 assert set(POSE_FUNCS) == set(MOVES) | set(EXTRA_MOVES)
