@@ -226,6 +226,27 @@ def test_mjpg_full_range_source(tmp_path):
     assert d2.mean() < 5.0, d2.mean()
 
 
+def test_fast_auto_resolves_by_codec(video, tmp_path):
+    """fast="auto" must apply the fast flags only on codecs that have an
+    in-loop deblocking filter: ON for h264, OFF (spec-exact) for mpeg4."""
+    path, _boxes = video
+    with native_decoder.NativeVideoDecoder(path, fast="auto") as dec:
+        assert dec.fast == 0  # mp4v: no in-loop deblock -> exact decode
+    with native_decoder.NativeVideoDecoder(path, fast=True) as dec:
+        assert dec.fast == 1  # forced stays forced
+
+    from playaid_core_tpu.video import native_encoder
+
+    if not native_encoder.available():
+        pytest.skip("native h264 encoder unavailable")
+    h264 = str(tmp_path / "clip_h264_auto.mp4")
+    native_encoder.transcode(path, h264, crf=20)
+    with native_decoder.NativeVideoDecoder(h264, fast="auto") as dec:
+        assert dec.fast == 1
+    with native_decoder.NativeVideoDecoder(h264) as dec:
+        assert dec.fast == 0  # default stays spec-exact
+
+
 def test_h264_fast_decode_close_to_exact(video, tmp_path):
     """fast=True (skip in-loop deblocking + FAST flag) on an h264 stream —
     h264's reduced-cost decode mode, since it has no fractional lowres —

@@ -7,7 +7,8 @@ reference actually deploys at (reference: ai_runner.py:164-168 trained
 checkpoint over its action list; anim_ontology.py:612-659 46-move
 trained subset; constants.py:51 six characters):
 
-* 26 trained-subset moves + Unknown (27 action classes), 6 fighters;
+* the COMPLETE 46-move trained subset + Unknown (47 action classes),
+  6 fighters;
 * skeletal-sprite animation sets (pose+motion class signal, not color);
 * CenterNet detector over all 6 characters, class-restricted per match
   like the reference's YOLO ``classes={2,3}`` (ai_runner.py:201);
