@@ -53,6 +53,95 @@ def get_flat_character_animations(clean_char_dir=None):
     return out
 
 
+def _hud_font_paths():
+    """Bundled TTF pool for HUD-distractor text (matplotlib ships a
+    font directory in every image; no external assets needed).
+
+    The Computer Modern (cm*) faces are excluded on purpose: the
+    capstone eval renders its HUD in cmr10 as a held-out font family
+    (tools/pixels_capstone.py HUD_FONT), and keeping the whole foundry
+    out of the distractor pool preserves that claim for the detector
+    as well as the OCR.  Sym/cmex-style symbol faces map ASCII to math
+    glyphs, so digit-bearing distractors draw from text faces only."""
+    import matplotlib
+
+    font_dir = os.path.join(os.path.dirname(matplotlib.__file__), "mpl-data",
+                            "fonts", "ttf")
+    paths = [p for p in sorted(glob(os.path.join(font_dir, "*.ttf")))
+             if not os.path.basename(p).startswith("cm")]
+    text = [p for p in paths if "Sym" not in os.path.basename(p)]
+    return text, paths
+
+
+def draw_hud_distractors(stage, rng, max_elements=3):
+    """Render game-HUD-style overlay clutter (damage readouts, name-tag
+    bars, timers) onto a composite IN PLACE.
+
+    Real match frames always carry HUD elements — big stylized damage
+    percentages, player tags, stock icons — and the reference's YOLO
+    detector learned to ignore them because it trained on real frames
+    (reference: data_gen_scripts/gen_synth_char_detection.py pastes onto
+    real stage screenshots that include HUDs).  Synthetic stages have no
+    HUD, and a detector that never saw one fires phantom detections on
+    damage text at inference (red/pink digit clusters score as
+    similarly-colored fighters; measured as multi-second fighter losses
+    on the capstone eval).  These distractors carry no labels: they are
+    pure hard-negative background.
+    """
+    from PIL import ImageDraw, ImageFont
+
+    text_fonts, all_fonts = _hud_font_paths()
+    if not text_fonts:
+        return
+    draw = ImageDraw.Draw(stage)
+    w, h = stage.width, stage.height
+    for _ in range(int(rng.integers(1, max_elements + 1))):
+        kind = rng.random()
+        # Bias positions toward the real HUD band (bottom fifth) but
+        # cover the whole frame so placement isn't memorized.
+        if rng.random() < 0.6:
+            cx = int(rng.uniform(0.1, 0.9) * w)
+            cy = int(rng.uniform(0.82, 0.95) * h)
+        else:
+            cx = int(rng.uniform(0.05, 0.95) * w)
+            cy = int(rng.uniform(0.05, 0.95) * h)
+        fonts = text_fonts if kind < 0.8 else all_fonts
+        font_path = fonts[int(rng.integers(len(fonts)))]
+        size = int(rng.integers(int(h * 0.045), int(h * 0.11)))
+        try:
+            font = ImageFont.truetype(font_path, size)
+        except OSError:
+            continue
+        if kind < 0.6:
+            # damage readout: digits + %, white->red with damage
+            val = float(rng.uniform(0, 300))
+            text = f"{val:.1f}%" if rng.random() < 0.5 else f"{int(val)}%"
+            frac = min(val / 150.0, 1.0)
+            fill = (255, int(255 * (1 - 0.85 * frac)),
+                    int(255 * (1 - 0.95 * frac)))
+        elif kind < 0.8:
+            # player tag / name bar
+            text = "".join(chr(int(rng.integers(65, 91)))
+                           for _ in range(int(rng.integers(2, 8))))
+            fill = tuple(int(c) for c in rng.integers(140, 256, 3))
+        else:
+            # timer
+            text = f"{int(rng.integers(0, 8))}:{int(rng.integers(0, 60)):02d}"
+            fill = (255, 255, int(rng.integers(180, 256)))
+        bb = draw.textbbox((cx, cy), text, font=font)
+        if rng.random() < 0.6:
+            pad = size // 5
+            backing = tuple(int(c) for c in rng.integers(0, 40, 3))
+            draw.rectangle((bb[0] - pad, bb[1] - pad, bb[2] + pad, bb[3] + pad),
+                           fill=backing)
+        if rng.random() < 0.5:
+            draw.text((cx + 2, cy + 2), text, font=font,
+                      fill=(15, 10, 10))  # drop shadow
+        stroke = int(rng.integers(0, 3))
+        draw.text((cx, cy), text, font=font, fill=fill, stroke_width=stroke,
+                  stroke_fill=(25, 20, 30))
+
+
 def _codec_degrade(img_bgr, rng):
     """Approximate video-codec softening on a composite: optional
     downscale/upscale (mpeg4 macroblock smear at default VideoWriter
@@ -71,7 +160,8 @@ def _codec_degrade(img_bgr, rng):
 
 def composite_chars_onto_stage(stage_path, char_paths, output_path, class_type="CHAR",
                                rng=None, bbox_overlay=False, char_list=None,
-                               augment=True, identity_safe=False, degrade=0.0):
+                               augment=True, identity_safe=False, degrade=0.0,
+                               hud_distractors=0.0):
     """(reference: gen_synth_char_detection.py:190-262)
 
     ``augment=False`` skips the sprite augmentation entirely;
@@ -80,7 +170,8 @@ def composite_chars_onto_stage(stage_path, char_paths, output_path, class_type="
     class identity in palette).  ``degrade`` is the probability of a
     codec-style degradation of the finished composite (see
     :func:`_codec_degrade`) so train-time statistics match decoded
-    video frames."""
+    video frames.  ``hud_distractors`` is the probability of rendering
+    unlabeled HUD-style overlay text (see :func:`draw_hud_distractors`)."""
     rng = rng or np.random.default_rng()
     char_list = char_list or constants.CHAR_LIST
     stage = Image.open(stage_path).convert("RGB")
@@ -135,6 +226,11 @@ def composite_chars_onto_stage(stage_path, char_paths, output_path, class_type="
             )
         )
 
+    if hud_distractors and rng.random() < hud_distractors:
+        # HUD renders over everything in a real frame (after sprites,
+        # before codec loss).
+        draw_hud_distractors(stage, rng)
+
     out = cv2.cvtColor(np.array(stage), cv2.COLOR_RGB2BGR)
     if degrade and rng.random() < degrade:
         out = _codec_degrade(out, rng)
@@ -155,7 +251,7 @@ def generate_stage_char_compositions(sub_dir_name, n_generations, class_type="CH
                                      output_root=None, stages_dir=None,
                                      clean_char_dir=None, char_list=None,
                                      augment=True, identity_safe=False,
-                                     degrade=0.0):
+                                     degrade=0.0, hud_distractors=0.0):
     rng = np.random.default_rng(seed)
     stages = get_stage_paths(stages_dir)
     char_animations = get_flat_character_animations(clean_char_dir)
@@ -182,7 +278,7 @@ def generate_stage_char_compositions(sub_dir_name, n_generations, class_type="CH
             stage, selected, os.path.join(images_dir, f"comp-{i}.jpg"),
             class_type=class_type, rng=rng, bbox_overlay=bbox_overlay,
             char_list=char_list, augment=augment, identity_safe=identity_safe,
-            degrade=degrade,
+            degrade=degrade, hud_distractors=hud_distractors,
         )
     return n_generations
 

@@ -109,6 +109,32 @@ def test_gen_synth_char_detection(sprite_assets, tmp_path):
     assert img.shape == (720, 1280, 3)
 
 
+def test_hud_distractors_render_without_labels(sprite_assets, tmp_path):
+    """hud_distractors=1.0 must visibly alter the composite (overlay
+    clutter is drawn) while leaving the YOLO labels untouched — HUD
+    text is hard-negative background, never a labeled object."""
+    stages, clean = sprite_assets
+    # One composite per run: the HUD draw consumes rng, so later
+    # composites' sprite placements would diverge between the two runs.
+    for sub, hud in (("plain", 0.0), ("hud", 1.0)):
+        generate_stage_char_compositions(
+            sub, 1, seed=7, output_root=str(tmp_path), stages_dir=str(stages),
+            clean_char_dir=str(clean), augment=False, degrade=0.0,
+            hud_distractors=hud,
+        )
+    plain = cv2.imread(str(tmp_path / "plain" / "images" / "comp-0.jpg"))
+    hud = cv2.imread(str(tmp_path / "hud" / "images" / "comp-0.jpg"))
+    assert plain.shape == hud.shape
+    # same rng stream up to the HUD draw -> sprites land identically;
+    # the overlay is the only difference and it must be substantial
+    assert np.abs(plain.astype(int) - hud.astype(int)).sum() > 10_000
+    with open(tmp_path / "plain" / "labels" / "comp-0.txt") as f:
+        plain_labels = f.read()
+    with open(tmp_path / "hud" / "labels" / "comp-0.txt") as f:
+        hud_labels = f.read()
+    assert plain_labels == hud_labels
+
+
 def test_gen_synth_video_actions(sprite_assets, tmp_path):
     stages, clean = sprite_assets
     gen = SynthVideoGenerator(

@@ -554,8 +554,11 @@ def phase_detector(workdir, det_steps, det_composites, verbose=True):
     _heartbeat()
     clean, stages = phase_assets(workdir)
     print("generating detection composites...")
+    # DET_SEED: composite generation is append-only (existing images are
+    # kept and new ones continue the numbering), so a top-up run MUST use
+    # a fresh seed or it replays the first pool's draw sequence.
     generate_stage_char_compositions(
-        "train", det_composites, seed=0,
+        "train", det_composites, seed=int(os.environ.get("DET_SEED", "0")),
         output_root=os.path.join(workdir, "composites"),
         stages_dir=stages, clean_char_dir=clean,
         char_list=list(constants.CHAR_LIST),
@@ -564,7 +567,12 @@ def phase_detector(workdir, det_steps, det_composites, verbose=True):
         # loc 96% / loc+class 12% on eval video).  degrade: mpeg4-decoded
         # eval frames are soft; pristine-JPEG-only training collapses
         # heatmap confidence 0.9 -> 0.2 on video frames.
-        augment=True, identity_safe=True, degrade=0.3,
+        # hud_distractors: eval frames carry HUD damage text and the
+        # detector must not fire on it (measured: a never-seen-HUD
+        # detector locks a phantom Jigglypuff onto the player-0 damage
+        # readout at conf 0.52, losing the real fighter for 90-frame
+        # runs whenever its ball poses score lower).
+        augment=True, identity_safe=True, degrade=0.3, hud_distractors=0.5,
     )
     det_ds = DetectionDataset(
         os.path.join(workdir, "composites", "train"), input_hw=(256, 448),
