@@ -63,6 +63,16 @@ struct Decoder {
   int64_t next_index = 0;   // index of the next frame decode will return
   bool pending = false;     // d->frame already holds frame `next_index`
   bool draining = false;
+  // Stride-skip mode (vd_set_stride_skip): while decoding a chunk whose
+  // caller only extracts every `skip_stride`-th frame, packets whose
+  // display index falls on a non-extracted slot are sent with
+  // skip_frame=AVDISCARD_NONREF — the codec drops the picture IF AND ONLY
+  // IF nothing references it, so extracted frames decode bit-identically
+  // while non-referenced in-between frames (x264's non-ref B's) skip
+  // their reconstruction cost entirely.
+  bool stride_skip = false;  // feature toggle (vd_set_stride_skip)
+  int skip_stride = 1;       // active stride during a decode call
+  int64_t skip_lo = 0, skip_hi = 0;  // active chunk [start, start+n)
 };
 
 int64_t pts_to_index(const Decoder* d, int64_t pts) {
@@ -90,6 +100,24 @@ int next_frame(Decoder* d) {
       }
       if (ret < 0) return ret;
       if (d->pkt->stream_index == d->stream_index) {
+        if (d->skip_stride > 1) {
+          // Per-packet skip decision: a packet's pts is its picture's
+          // display time, so the non-extracted test is exact even with
+          // B-frame reordering.  Outside the active chunk (lookahead into
+          // the next chunk, whose grid we don't know yet) and on the
+          // stream's final frame (EOF accounting must stay exact) the
+          // codec decodes normally.
+          AVDiscard sk = AVDISCARD_DEFAULT;
+          if (d->pkt->pts != AV_NOPTS_VALUE) {
+            int64_t idx = pts_to_index(d, d->pkt->pts);
+            bool in_chunk = idx >= d->skip_lo && idx < d->skip_hi;
+            bool extracted =
+                in_chunk && ((idx - d->skip_lo) % d->skip_stride) == 0;
+            bool last = d->nb_frames > 0 && idx >= d->nb_frames - 1;
+            if (in_chunk && !extracted && !last) sk = AVDISCARD_NONREF;
+          }
+          d->codec->skip_frame = sk;
+        }
         ret = avcodec_send_packet(d->codec, d->pkt);
         av_packet_unref(d->pkt);
         if (ret < 0 && ret != AVERROR(EAGAIN)) return ret;
@@ -198,6 +226,7 @@ long vd_num_frames(void* h) { return (long)((Decoder*)h)->nb_frames; }
 // nearest earlier keyframe).  Returns 0 on success.
 int vd_seek(void* h, long index) {
   Decoder* d = (Decoder*)h;
+  d->skip_stride = 1;  // stale chunk windows must not drop preroll refs
   if (index == d->next_index) return d->pending ? 1 : 0;
   double t = index / d->fps;
   int64_t ts = (int64_t)(t / av_q2d(d->stream->time_base));
@@ -244,6 +273,16 @@ long vd_decode_crops_fmt(void* h, long start, long n, const float* boxes,
     if (s < 0) return s;
     have_frame = (s == 1);
   }
+  // Arm stride-skip for this chunk (after any seek: preroll must decode
+  // normally).  skip_frame is restored before returning so external
+  // callers of vd_seek/next_frame see default decoding.
+  if (d->stride_skip && stride > 1 && K > 0) {
+    d->skip_stride = stride;
+    d->skip_lo = start;
+    d->skip_hi = start + n;
+  } else {
+    d->skip_stride = 1;
+  }
   const size_t crop_bytes = fmt == 1
                                 ? (size_t)out_size * out_size * 3 / 2
                                 : (size_t)out_size * out_size * 3;
@@ -253,7 +292,11 @@ long vd_decode_crops_fmt(void* h, long start, long n, const float* boxes,
   for (long i = 0; i < n; ++i) {
     if (!have_frame) {
       int ret = next_frame(d);
-      if (ret < 0) return ret;
+      if (ret < 0) {
+        d->skip_stride = 1;
+        d->codec->skip_frame = AVDISCARD_DEFAULT;
+        return ret;
+      }
       if (ret == 0) break;  // EOF
     }
     have_frame = false;
@@ -269,6 +312,12 @@ long vd_decode_crops_fmt(void* h, long start, long n, const float* boxes,
     if (idx >= start + n) {  // stream jumped past the chunk: remaining
       d->next_index = idx;   // slots stay black; frame waits for next call
       d->pending = true;
+      // In stride-skip mode a missing chunk tail is (by construction) our
+      // own policy-dropped non-extracted frames, not stream loss: count
+      // those slots so the caller's [:decoded] view keeps the chunk's
+      // full label grid (mid-chunk policy gaps are already counted by the
+      // idx-jump above).
+      if (d->skip_stride > 1) decoded = n;
       break;
     }
     if (idx > start + i) i = idx - start;  // skipped slots stay black
@@ -412,6 +461,8 @@ long vd_decode_crops_fmt(void* h, long start, long n, const float* boxes,
     }
     av_frame_unref(d->frame);
   }
+  d->skip_stride = 1;
+  d->codec->skip_frame = AVDISCARD_DEFAULT;
   return decoded;
 }
 
@@ -419,6 +470,15 @@ long vd_decode_crops(void* h, long start, long n, const float* boxes, int K,
                      int pad, int out_size, int stride, unsigned char* out) {
   return vd_decode_crops_fmt(h, start, n, boxes, K, pad, out_size, stride, 0,
                              out);
+}
+
+// Enable/disable stride-skip (see Decoder::stride_skip).  Off by default;
+// callers that decode with stride > 1 and never read the in-between
+// frames can turn it on for free h264/hevc decode savings (non-ref
+// pictures on non-extracted slots skip reconstruction; extracted frames
+// are bit-identical because only unreferenced pictures are ever dropped).
+void vd_set_stride_skip(void* h, int enable) {
+  ((Decoder*)h)->stride_skip = enable != 0;
 }
 
 void vd_close(void* h) {

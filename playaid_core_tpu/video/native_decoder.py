@@ -80,6 +80,8 @@ def get_library():
         ]
         lib.vd_close.restype = None
         lib.vd_close.argtypes = [ctypes.c_void_p]
+        lib.vd_set_stride_skip.restype = None
+        lib.vd_set_stride_skip.argtypes = [ctypes.c_void_p, ctypes.c_int]
         _lib = lib
     except Exception:
         _build_failed = True
@@ -98,7 +100,7 @@ class NativeVideoDecoder:
     (reference: fighter.py:323-381) so labels agree with the cv2 path.
     """
 
-    def __init__(self, path, lowres=0, fast=False):
+    def __init__(self, path, lowres=0, fast=False, stride_skip=True):
         # fast: skip the codec's in-loop deblocking filter + enable
         # non-spec-compliant speedups (AV_CODEC_FLAG2_FAST).  The honest
         # reduced-cost mode for h264, which has no fractional lowres;
@@ -116,6 +118,14 @@ class NativeVideoDecoder:
         self._h = lib.vd_open_ex(path.encode(), int(lowres), fast_flag)
         if not self._h:
             raise RuntimeError(f"could not open video: {path}")
+        # stride_skip: when decode_crops runs with stride > 1, packets on
+        # non-extracted slots are decoded with skip_frame=NONREF — the
+        # codec drops a picture only when nothing references it, so the
+        # extracted frames stay bit-identical while unreferenced B-frames
+        # on skipped slots cost nothing.  Exact by construction; on since
+        # it is a pure win (no-op for streams without non-ref frames).
+        if stride_skip:
+            lib.vd_set_stride_skip(self._h, 1)
 
     @property
     def width(self):
