@@ -121,7 +121,7 @@ def get_character_actions_animations_dict(clean_char_dir=None):
     return character_animations
 
 
-@functools.lru_cache(maxsize=32768)
+@functools.lru_cache(maxsize=None)
 def _load_sprite_rgba_cached(frame_path):
     char_frame = cv2.imread(frame_path, cv2.IMREAD_UNCHANGED)
     if char_frame.shape[2] == 3:
@@ -132,8 +132,18 @@ def _load_sprite_rgba_cached(frame_path):
 def _load_sprite_rgba(frame_path):
     """Decoded-sprite cache: on the 1-core host, per-sample PNG decode
     dominates synth batch assembly; sprite sets fit comfortably in RAM
-    (32k frames x ~60 KB < 2 GB).  Returns a copy (augments mutate)."""
+    (~46k frames x ~56 KB ~= 2.9 GB, unbounded on purpose — a bounded
+    LRU smaller than the sprite set thrashes to ~0% hits under random
+    sampling).  Returns a copy (augments mutate)."""
     return _load_sprite_rgba_cached(frame_path).copy()
+
+
+@functools.lru_cache(maxsize=64)
+def _load_stage_cached(stage_path):
+    """Decoded-stage cache: synth sampling re-draws from a handful of
+    stage textures; per-sample JPEG decode + RGB convert was ~25% of
+    sample assembly.  Callers must not mutate (crop/copy first)."""
+    return Image.open(stage_path).convert("RGB")
 
 
 def load_and_composite_sprite(frame_path, stage_crop, synth_difficulty, rng,
@@ -461,7 +471,7 @@ class UltActionRecogDataset:
             clip_actions = mini_actions[last_frame - t : last_frame]
 
         stage_path = rng.choice(self.stage_paths)
-        stage = Image.open(stage_path).convert("RGB")
+        stage = _load_stage_cached(stage_path)
         stage_cropped, ul = random_crop_pil_image(
             stage, self.img_dimension, self.img_dimension, rng
         )
@@ -482,13 +492,13 @@ class UltActionRecogDataset:
         for frame_path in clip_paths:
             if self.randomize_stage_background:
                 stage_path = rng.choice(self.stage_paths)
-                stage = Image.open(stage_path).convert("RGB")
+                stage = _load_stage_cached(stage_path)
                 stage_cropped, ul = random_crop_pil_image(
                     stage, self.img_dimension, self.img_dimension, rng
                 )
             elif self.move_stage_background:
                 stage_cropped, ul = slightly_move_crop_pil_image(
-                    Image.open(stage_path).convert("RGB"),
+                    _load_stage_cached(stage_path),
                     self.img_dimension, self.img_dimension, ul, 10, rng,
                 )
             fill = float(np.clip(fill_base + rng.uniform(-0.04, 0.04),
