@@ -818,12 +818,33 @@ def phase_eval(workdir, det_steps, det_composites, act_epochs, act_steps,
     constants.AI_CACHE = cache
     eval_stage = make_stage(os.path.join(workdir, "eval_stage.jpg"),
                             seed=991, kind="bands")
+
+    def cached_eval(video_path, gt_key, render):
+        """Eval renders are deterministic in (seed, frames); re-rendering
+        1800 frames costs minutes of the 1-core host per match.  Cache
+        (video, gt) under the same key scheme tools/rescore_capstone.py
+        uses so the two tools share fixtures."""
+        gt_path = os.path.join(workdir, f"{gt_key}.gt.pkl")
+        if os.path.exists(gt_path) and os.path.exists(video_path):
+            import pickle as _p
+
+            with open(gt_path, "rb") as f:
+                return _p.load(f)
+        gt = render()
+        import pickle as _p
+
+        with open(gt_path, "wb") as f:
+            _p.dump(gt, f)
+        return gt
+
     match_scores = []
     for m, pair in enumerate(EVAL_PAIR_SETS[:eval_pairs]):
         video_path = os.path.join(workdir, f"eval_match_{m}.mp4")
         print(f"eval match {m}: {pair[0]} vs {pair[1]}...")
-        gt = make_eval_video(video_path, pair, num_frames=eval_frames,
-                             seed=2000 + m, stage_path=eval_stage)
+        gt = cached_eval(
+            video_path, f"eval_match_{m}_{eval_frames}",
+            lambda: make_eval_video(video_path, pair, num_frames=eval_frames,
+                                    seed=2000 + m, stage_path=eval_stage))
         s = analyze_match(video_path, pair, det_trainer, pipe, split_vars,
                           workdir, gt, crop_padding=crop_padding,
                           smooth_radius=smooth_radius,
@@ -844,9 +865,12 @@ def phase_eval(workdir, det_steps, det_composites, act_epochs, act_steps,
         pair = EVAL_PAIR_SETS[0]
         video_path = os.path.join(workdir, "eval_small.mp4")
         print("far-zoom eval (40-64px sprites)...")
-        gt = make_eval_video(video_path, pair, num_frames=min(eval_frames, 900),
-                             sprite_px=(40, 64), seed=3000,
-                             stage_path=eval_stage)
+        gt = cached_eval(
+            video_path, f"eval_small_{min(eval_frames, 900)}",
+            lambda: make_eval_video(video_path, pair,
+                                    num_frames=min(eval_frames, 900),
+                                    sprite_px=(40, 64), seed=3000,
+                                    stage_path=eval_stage))
         small_score = analyze_match(video_path, pair, det_trainer, pipe,
                                     split_vars, workdir, gt, damage=False,
                                     crop_padding=crop_padding,
