@@ -138,12 +138,13 @@ def ffmpeg_available() -> bool:
 
 def add_audio(output_video_path, input_video_path):
     """Remux the source audio track into the rendered video
-    (reference: manuscript.py:249-279).  Degrades gracefully: no ffmpeg,
+    (reference: manuscript.py:249-279).  Prefers the ffmpeg binary (the
+    reference's exact seam); without one, uses the in-process libavformat
+    remuxer (video.native_remux).  Degrades gracefully: no remux backend,
     or a source with no audio stream, leaves the silent video in place
     with a warning instead of failing an already-finished render."""
     if not ffmpeg_available():
-        print("ffmpeg not found; skipping audio remux")
-        return False
+        return _add_audio_native(output_video_path, input_video_path)
 
     import tempfile
     import uuid
@@ -173,6 +174,36 @@ def add_audio(output_video_path, input_video_path):
         )
         if os.path.exists(tmp_path):
             os.unlink(tmp_path)
+        return False
+    shutil.move(tmp_path, output_video_path)
+    return True
+
+
+def _add_audio_native(output_video_path, input_video_path):
+    """In-process remux via libavformat (native/audio_remux.cpp) for hosts
+    without an ffmpeg binary — same -shortest stream-copy semantics."""
+    from playaid_core_tpu.video import native_remux
+
+    if not native_remux.available():
+        print("no ffmpeg binary and native remuxer unavailable; "
+              "skipping audio remux")
+        return False
+
+    import tempfile
+    import uuid
+
+    tmp_path = os.path.join(
+        tempfile.gettempdir(),
+        f"{uuid.uuid4().hex}_{os.path.basename(output_video_path)}",
+    )
+    try:
+        ok = native_remux.remux(output_video_path, input_video_path, tmp_path)
+    except Exception as e:
+        print(f"native audio remux failed ({e}); keeping silent video")
+        return False
+    if not ok:
+        print("audio remux failed (source may have no audio stream); "
+              "keeping silent video")
         return False
     shutil.move(tmp_path, output_video_path)
     return True
