@@ -312,12 +312,18 @@ long vd_decode_crops_fmt(void* h, long start, long n, const float* boxes,
     if (idx >= start + n) {  // stream jumped past the chunk: remaining
       d->next_index = idx;   // slots stay black; frame waits for next call
       d->pending = true;
-      // In stride-skip mode a missing chunk tail is (by construction) our
-      // own policy-dropped non-extracted frames, not stream loss: count
-      // those slots so the caller's [:decoded] view keeps the chunk's
-      // full label grid (mid-chunk policy gaps are already counted by the
-      // idx-jump above).
-      if (d->skip_stride > 1) decoded = n;
+      // In stride-skip mode a missing chunk tail is usually our own
+      // policy-dropped non-extracted frames; count those slots so the
+      // caller's [:decoded] view keeps the chunk's full label grid
+      // (mid-chunk policy gaps are already counted by the idx-jump
+      // above).  Only valid when the chunk's last EXTRACTED slot really
+      // decoded — a tail that also swallows an extracted frame is stream
+      // loss (truncated file, pts gap), and claiming it would hand the
+      // caller never-decoded black crops as if they were real frames.
+      if (d->skip_stride > 1 && stride > 0) {
+        long last_ex = ((n - 1) / stride) * stride;
+        if (decoded > last_ex) decoded = n;
+      }
       break;
     }
     if (idx > start + i) i = idx - start;  // skipped slots stay black

@@ -30,17 +30,11 @@ import json
 import os
 from typing import Dict, Iterable, List, Tuple
 
-# Artifact shapes that mark a replay id as "completed" in a store
-# directory.  Mirrors the framework's cache layout: annotated MP4s from
-# the manuscript path, ai_output YAMLs from the AI path (reference:
-# ai_runner.py:592-608), and per-replay cache subdirectories.
-_COMPLETED_PATTERNS = (
-    "{id}.mp4",
-    "{id}.yaml",
-    "{id}.yml",
-    os.path.join("{id}", "ai_output.yaml"),
-    "{id}",
-)
+# A replay id counts as "completed" in a store directory when any of
+# these artifacts exist (see completed_replay_ids): an annotated
+# `<id>.mp4` from the manuscript path, an `<id>.yaml`/`<id>.yml` from
+# the AI path (reference: ai_runner.py:592-608), or a per-replay cache
+# subdirectory `<id>/`.
 
 
 def load_requests(path: str) -> Dict[str, str]:

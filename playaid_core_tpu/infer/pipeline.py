@@ -447,7 +447,8 @@ class BatchedActionPipeline:
         return labels[:true_len], conf[:true_len]
 
     def classify_sequence(self, variables, embeddings, min_frame=0, pad_bucket=4096,
-                          smooth_radius=0, decode="argmax", switch_cost=4.0):
+                          smooth_radius=0, decode="argmax", switch_cost=4.0,
+                          return_raw=False):
         """embeddings [F, D] for consecutive frames -> per-frame
         (labels [F], confidence [F]) using middle-out windows.
 
@@ -461,17 +462,24 @@ class BatchedActionPipeline:
         ``decode="viterbi"`` decodes the MAP label path under a
         ``switch_cost``-nat switching penalty (see _viterbi_decode)
         instead of the per-frame argmax; both compose.
+
+        ``return_raw=True`` additionally returns the pre-smoothing,
+        pre-decode per-window argmax labels (labels, conf, raw) — from the
+        SAME head forward, so capturing the raw view costs one extra
+        argmax, not a second full classification pass.
         """
         f = embeddings.shape[0]
         if pad_bucket:
             padded = pad_bucket * ((f + pad_bucket - 1) // pad_bucket)
             if padded != f:
                 embeddings = jnp.pad(embeddings, ((0, padded - f), (0, 0)))
-        labels, conf = self._classify_jit(
+        labels, conf, raw = self._classify_jit(
             variables["head"], embeddings, f, min_frame=min_frame,
             smooth_radius=smooth_radius, decode=decode,
             switch_cost=switch_cost,
         )
+        if return_raw:
+            return labels[:f], conf[:f], raw[:f]
         return labels[:f], conf[:f]
 
     def _classify_impl(self, head_vars, embeddings, true_len, min_frame,
@@ -483,6 +491,7 @@ class BatchedActionPipeline:
         )  # [F, T] clamped to the true length
         windows = jnp.take(embeddings, idx, axis=0)  # [F, T, D]
         log_probs = self._head_apply(head_vars, windows)
+        raw_labels = jnp.argmax(log_probs, axis=-1)
         if smooth_radius:
             log_probs = self._smooth_log_probs(log_probs, true_len, smooth_radius)
         if decode == "viterbi":
@@ -493,7 +502,7 @@ class BatchedActionPipeline:
         else:
             labels = jnp.argmax(log_probs, axis=-1)
             conf = jnp.exp(jnp.max(log_probs, axis=-1)) * 100.0
-        return labels, conf
+        return labels, conf, raw_labels
 
     def preprocess_frames(self, frames_u8, boxes, padding=30, use_pallas=None):
         """frames [B, H, W, 3] uint8 + boxes [B, 4] -> [B, S, S, 3] f32.

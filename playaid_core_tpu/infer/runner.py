@@ -636,19 +636,18 @@ class AIRunner:
 
             # 3) classify all windows at once (min_frame=1 in crop-file space
             #    -> index 0 of the embedding sequence).
-            labels, conf = self.pipeline.classify_sequence(
+            labels, conf, raw = self.pipeline.classify_sequence(
                 self.variables, embeddings, min_frame=0,
                 smooth_radius=self.smooth_radius, decode=self.decode,
-                switch_cost=self.switch_cost,
+                switch_cost=self.switch_cost, return_raw=True,
             )
             labels = np.asarray(labels)
             conf = np.asarray(conf)
-            raw_labels = None
-            if self.smooth_radius or self.decode != "argmax":
-                raw, _ = self.pipeline.classify_sequence(
-                    self.variables, embeddings, min_frame=0
-                )
-                raw_labels = np.asarray(raw)
+            # Raw (pre-smoothing/pre-decode) view comes from the same head
+            # forward; only record it when it can differ.
+            raw_labels = (np.asarray(raw)
+                          if self.smooth_radius or self.decode != "argmax"
+                          else None)
 
             last_crop = None
             for pos, frame_num in enumerate(frame_nums):

@@ -373,6 +373,31 @@ def auto_lowres(boxes, video_w, video_h, crop_size, padding, max_lowres=2):
     return lowres
 
 
+def resolve_padding(boxes, padding):
+    """Normalize ``padding`` for the chunked decode paths.
+
+    Integer padding (the reference's pixel semantics) passes through.  A
+    float in (0, 1) means a FRACTION of each box's square dim — the
+    geometry.square_crop semantics deployed by the capstone — which a
+    single per-call integer pad can't express; it is realized exactly by
+    inflating each box's w/h by (1 + 2*frac) instead (the extractors all
+    compute side = 2*(half + pad), so pad = frac*2*half ≡ half *= 1+2frac)
+    and padding 0.  Anything else (e.g. a stray 0.125 reaching the native
+    decoder, where C truncation would silently drop the padding) is
+    rejected.
+    """
+    if isinstance(padding, float) and 0.0 < padding < 1.0:
+        out = np.array(boxes, np.float32, copy=True)
+        out[..., 2:4] *= 1.0 + 2.0 * padding
+        return out, 0
+    if float(padding) != int(padding):
+        raise ValueError(
+            f"padding must be an int pixel pad or a fraction in (0,1); "
+            f"got {padding!r}"
+        )
+    return boxes, int(padding)
+
+
 class VodAnalyzer:
     """Analyze a VOD: per-frame action labels for both fighters."""
 
@@ -460,6 +485,7 @@ class VodAnalyzer:
         Returns dict with per-fighter labels/confidences [F] and timing.
         """
         self.ensure_variables()
+        boxes, padding = resolve_padding(boxes, self.padding)
         f_total = boxes.shape[0] if num_frames is None else num_frames
 
         chunk = self.chunk
@@ -499,7 +525,7 @@ class VodAnalyzer:
                 if self.lowres == "auto":
                     lowres = auto_lowres(
                         boxes[:f_total], probe.width, probe.height,
-                        crop_size, self.padding, max_lowres=codec_max,
+                        crop_size, padding, max_lowres=codec_max,
                     )
                 elif self.lowres:
                     lowres = min(self.lowres, codec_max)
@@ -508,7 +534,7 @@ class VodAnalyzer:
             def transform(i, frame):
                 if i % stride != 0:
                     return None
-                return extract_crops(frame, boxes[i], crop_size, self.padding)
+                return extract_crops(frame, boxes[i], crop_size, padding)
 
             def collate(start, items):
                 n = len(items)
@@ -519,7 +545,7 @@ class VodAnalyzer:
                 return n, crops, None
         else:
             def transform(i, frame):
-                return extract_windows(frame, boxes[i], self.window, self.padding)
+                return extract_windows(frame, boxes[i], self.window, padding)
 
             def collate(start, items):
                 """Assemble (and zero-pad to a fixed chunk size — one
@@ -562,7 +588,7 @@ class VodAnalyzer:
         decoded = 0
         if use_native:
             decoder = NativeChunkDecoder(
-                video_path, f_total, self.chunk, boxes, crop_size, self.padding,
+                video_path, f_total, self.chunk, boxes, crop_size, padding,
                 workers=self.decode_workers, lowres=lowres, stride=stride,
                 fmt=fmt, fast=self.fast_decode,
             )

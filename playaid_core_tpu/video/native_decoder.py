@@ -167,6 +167,16 @@ class NativeVideoDecoder:
         """
         boxes = np.ascontiguousarray(boxes, dtype=np.float32)
         n, k = boxes.shape[0], boxes.shape[1]
+        if float(padding) != int(padding):
+            # A fractional pad (square_crop's fraction-of-box semantics,
+            # e.g. the capstone's 0.125) would silently truncate to 0 in
+            # the C call; resolve it first (vod_pipeline.resolve_padding
+            # realizes fractions by inflating the boxes).
+            raise ValueError(
+                f"native decode_crops needs an integer pixel padding, got "
+                f"{padding!r}; use vod_pipeline.resolve_padding for "
+                f"fractional padding"
+            )
         fmt_i = {"bgr": 0, "yuv420": 1}[fmt]
         shape = (
             (n, k, out_size, out_size, 3) if fmt_i == 0

@@ -77,23 +77,32 @@ def get_library():
     return _lib
 
 
+_probe_cache: dict = {}
+
+
 def available(codec="libx264"):
     lib = get_library()
     if lib is None:
         return False
-    # Probe: open+close a tiny encoder (catches a libavcodec built
-    # without the requested encoder).
+    if codec in _probe_cache:
+        return _probe_cache[codec]
+    # Probe once per codec: open+close a tiny encoder (catches a
+    # libavcodec built without the requested encoder).  The result is
+    # cached — callers check available() before every writer open.
     path = os.path.join(tempfile.gettempdir(), f"_probe_{os.getpid()}.mp4")
     h = lib.ve_open(path.encode(), 64, 64, 30.0, codec.encode(), b"veryfast",
                     28, 1)
-    if not h:
-        return False
-    lib.ve_close(ctypes.c_void_p(h))
+    ok = bool(h)
+    if h:
+        lib.ve_close(ctypes.c_void_p(h))
     try:
+        # ve_open can create the file before failing (header write) —
+        # clean up on both outcomes.
         os.unlink(path)
     except OSError:
         pass
-    return True
+    _probe_cache[codec] = ok
+    return ok
 
 
 class NativeVideoWriter:

@@ -276,3 +276,23 @@ def test_auto_lowres_policy():
     mixed[7, 1, 2:] = 0.0
     assert auto_lowres(mixed, w, h, crop, pad) == 2
     assert auto_lowres(np.zeros((4, 2, 4), np.float32), w, h, crop, pad) == 0
+
+
+def test_return_raw_single_pass_matches_separate_raw_call(cnn_pipe):
+    """return_raw captures the pre-smoothing/pre-decode argmax from the
+    SAME head forward — it must equal what a separate raw call returns."""
+    pipe, variables = cnn_pipe
+    seq = jax.random.normal(jax.random.PRNGKey(7), (24, 1000))
+
+    labels, conf, raw = pipe.classify_sequence(
+        variables, seq, pad_bucket=16, smooth_radius=3, decode="viterbi",
+        switch_cost=2.0, return_raw=True,
+    )
+    raw_ref, _ = pipe.classify_sequence(variables, seq, pad_bucket=16)
+    np.testing.assert_array_equal(np.asarray(raw), np.asarray(raw_ref))
+    assert labels.shape == raw.shape == (24,)
+
+    # With no smoothing/decode, raw IS the decoded label stream.
+    l0, _, r0 = pipe.classify_sequence(variables, seq, pad_bucket=16,
+                                       return_raw=True)
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(r0))

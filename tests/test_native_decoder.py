@@ -526,3 +526,43 @@ def test_consumer_failure_stops_producers(tmp_path):
     assert threading.active_count() <= before, (
         f"leaked threads: {threading.enumerate()}"
     )
+
+
+def test_fractional_padding_rejected_by_native_binding(video):
+    """A fractional pad must fail loudly — int() truncation in the C call
+    would silently decode with zero padding (divergent geometry vs the
+    square_crop fraction-of-box semantics)."""
+    from playaid_core_tpu.video.native_decoder import NativeVideoDecoder
+
+    path, _ = video
+    boxes = np.full((2, 1, 4), 0.25, np.float32)
+    with NativeVideoDecoder(path) as d:
+        with pytest.raises(ValueError, match="integer pixel padding"):
+            d.decode_crops(0, boxes, padding=0.125, out_size=64)
+
+
+def test_resolve_padding_fraction_matches_pixel_pad():
+    """resolve_padding realizes square_crop's fraction-of-square-dim
+    semantics by box inflation: the extractor geometry
+    (side = 2*(half + pad)) must come out identical to an explicit pixel
+    pad of frac * square_dim."""
+    from playaid_core_tpu.infer.vod_pipeline import extract_crops, resolve_padding
+
+    rng = np.random.default_rng(3)
+    frame = rng.integers(0, 255, (360, 640, 3), dtype=np.uint8)
+    # 80x64 px box at an interior center: square_dim 80, frac 0.125 -> pad 10.
+    boxes = np.array([[0.5, 0.5, 80 / 640, 64 / 360]], np.float32)
+
+    ref = extract_crops(frame, boxes, out_size=64, padding=10)
+    inflated, pad = resolve_padding(boxes, 0.125)
+    got = extract_crops(frame, inflated, out_size=64, padding=pad)
+    assert pad == 0
+    np.testing.assert_array_equal(got, ref)
+
+    # Integer padding passes through untouched.
+    same, pad30 = resolve_padding(boxes, 30)
+    assert pad30 == 30 and same is boxes
+
+    # Junk (float >= 1 that is not integral) is rejected, not truncated.
+    with pytest.raises(ValueError):
+        resolve_padding(boxes, 1.5)

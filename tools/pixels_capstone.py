@@ -823,7 +823,11 @@ def phase_eval(workdir, det_steps, det_composites, act_epochs, act_steps,
         """Eval renders are deterministic in (seed, frames); re-rendering
         1800 frames costs minutes of the 1-core host per match.  Cache
         (video, gt) under the same key scheme tools/rescore_capstone.py
-        uses so the two tools share fixtures."""
+        uses so the two tools share fixtures.  The frame count is baked
+        into the VIDEO filename too (not just the gt key): the position/
+        damage schedules unroll differently per num_frames, so a video
+        rendered at one count must never be scored against a gt rebuilt
+        at another."""
         gt_path = os.path.join(workdir, f"{gt_key}.gt.pkl")
         if os.path.exists(gt_path) and os.path.exists(video_path):
             import pickle as _p
@@ -839,7 +843,7 @@ def phase_eval(workdir, det_steps, det_composites, act_epochs, act_steps,
 
     match_scores = []
     for m, pair in enumerate(EVAL_PAIR_SETS[:eval_pairs]):
-        video_path = os.path.join(workdir, f"eval_match_{m}.mp4")
+        video_path = os.path.join(workdir, f"eval_match_{m}_{eval_frames}.mp4")
         print(f"eval match {m}: {pair[0]} vs {pair[1]}...")
         gt = cached_eval(
             video_path, f"eval_match_{m}_{eval_frames}",
@@ -863,12 +867,13 @@ def phase_eval(workdir, det_steps, det_composites, act_epochs, act_steps,
     small_score = None
     if small_eval:
         pair = EVAL_PAIR_SETS[0]
-        video_path = os.path.join(workdir, "eval_small.mp4")
+        small_frames = min(eval_frames, 900)
+        video_path = os.path.join(workdir, f"eval_small_{small_frames}.mp4")
         print("far-zoom eval (40-64px sprites)...")
         gt = cached_eval(
-            video_path, f"eval_small_{min(eval_frames, 900)}",
+            video_path, f"eval_small_{small_frames}",
             lambda: make_eval_video(video_path, pair,
-                                    num_frames=min(eval_frames, 900),
+                                    num_frames=small_frames,
                                     sprite_px=(40, 64), seed=3000,
                                     stage_path=eval_stage))
         small_score = analyze_match(video_path, pair, det_trainer, pipe,

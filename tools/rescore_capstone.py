@@ -106,7 +106,10 @@ def main():
 
     scores = []
     for m, pair in enumerate(cap.EVAL_PAIR_SETS[: args.pairs]):
-        video_path = os.path.join(workdir, f"eval_match_{m}.mp4")
+        # Frame count in the video name (matching the capstone driver):
+        # schedules unroll per num_frames, so a stale video at another
+        # count must miss the cache rather than score mismatched content.
+        video_path = os.path.join(workdir, f"eval_match_{m}_{args.frames}.mp4")
         gt = cached_gt(
             video_path, f"eval_match_{m}_{args.frames}",
             lambda: cap.make_eval_video(video_path, pair,
@@ -128,11 +131,12 @@ def main():
 
     if args.small:
         pair = cap.EVAL_PAIR_SETS[0]
-        video_path = os.path.join(workdir, "eval_small.mp4")
+        small_frames = min(args.frames, 900)
+        video_path = os.path.join(workdir, f"eval_small_{small_frames}.mp4")
         gt = cached_gt(
-            video_path, f"eval_small_{min(args.frames, 900)}",
+            video_path, f"eval_small_{small_frames}",
             lambda: cap.make_eval_video(video_path, pair,
-                                        num_frames=min(args.frames, 900),
+                                        num_frames=small_frames,
                                         sprite_px=(40, 64), seed=3000,
                                         stage_path=eval_stage),
         )
