@@ -100,10 +100,23 @@ def main():
     stride = int(os.environ.get("BENCH_STRIDE", "2"))
     timed_runs = int(os.environ.get("BENCH_RUNS", "3"))
 
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    # Tunneled devices wedge the FIRST client after an idle window or a
+    # back-to-back session handoff (observed: a trivial first dispatch
+    # taking 75+ s, or hanging outright past a 580 s timeout).  Probe
+    # from throwaway subprocesses until the tunnel answers, BEFORE this
+    # process's own first device touch.
+    from playaid_core_tpu.tpu_warmup import warm_tunnel
+
+    try:
+        warm_tunnel(log=log)
+    except RuntimeError as e:
+        log(f"tunnel warm-up failed ({e}); proceeding anyway")
+
     import jax
     import jax.numpy as jnp
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from playaid_core_tpu.infer.pipeline import BatchedActionPipeline
     from playaid_core_tpu.infer.vod_pipeline import VodAnalyzer
     from playaid_core_tpu.video import native_decoder

@@ -404,29 +404,12 @@ def score_run(runner, pair, gt, boundary=9):
 # ---------------------------------------------------------------------------
 
 def _warm_tunnel(attempts=5):
-    """Clear tunnel staleness before real work: after ~10 min of device
-    idleness the FIRST client to touch the TPU wedges forever (all
-    threads in futex), but killing it and dialing again from a fresh
-    process succeeds immediately.  So: probe via a short-timeout
-    subprocess; a timed-out probe is itself the sacrifice that unwedges
-    the tunnel for the next attempt."""
-    import subprocess
+    """Clear tunnel staleness before real work (see
+    playaid_core_tpu.tpu_warmup — shared with bench.py)."""
+    from playaid_core_tpu.tpu_warmup import warm_tunnel
 
-    probe = ("import jax, jax.numpy as jnp;"
-             "print(float(jnp.zeros((2,)).sum()))")
-    for i in range(attempts):
-        try:
-            r = subprocess.run([sys.executable, "-c", probe], timeout=120,
-                               capture_output=True)
-            if r.returncode == 0:
-                return True
-        except subprocess.TimeoutExpired:
-            print(f"tunnel probe {i + 1} timed out (stale session cleared); "
-                  "retrying after cleanup window...", flush=True)
-        # The terminal needs a quiet window after a dead client before it
-        # accepts the next one; immediate redials wedge again.
-        time.sleep(90)
-    raise RuntimeError("TPU tunnel did not recover after probes")
+    return warm_tunnel(attempts=attempts,
+                       log=lambda m: print(m, flush=True))
 
 
 def _heartbeat():
