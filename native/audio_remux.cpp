@@ -108,6 +108,10 @@ int ar_remux(const char* video_path, const char* audio_path,
     AVRational atb = ain->streams[aidx]->time_base;
     int have_v = next_packet_of(vin, vidx, vpkt);
     int have_a = next_packet_of(ain, aidx, apkt);
+    // An initial read ERROR (not clean EOF) must fail the remux: falling
+    // through with ret=0 would write a packet-less MP4 that the caller
+    // then moves over the finished render.
+    if (have_v < 0 || have_a < 0) { ret = (have_v < 0 ? have_v : have_a); break; }
     ret = 0;
     while (have_v == 1 && have_a == 1) {
       double vt = (vpkt->dts == AV_NOPTS_VALUE ? 0.0 : vpkt->dts * av_q2d(vtb));

@@ -386,6 +386,8 @@ def resolve_padding(boxes, padding):
     decoder, where C truncation would silently drop the padding) is
     rejected.
     """
+    if hasattr(padding, "item"):  # np.float32/np.int64 etc. from env/config parses
+        padding = padding.item()
     if isinstance(padding, float) and 0.0 < padding < 1.0:
         out = np.array(boxes, np.float32, copy=True)
         out[..., 2:4] *= 1.0 + 2.0 * padding

@@ -41,5 +41,6 @@ def warm_tunnel(attempts: int = 5, probe_timeout: float = 120.0,
         except subprocess.TimeoutExpired:
             log(f"tunnel probe {i + 1} timed out (stale session cleared); "
                 f"retrying after cleanup window...")
-        time.sleep(cooldown)
+        if i + 1 < attempts:  # no point cooling down before the raise
+            time.sleep(cooldown)
     raise RuntimeError("TPU tunnel did not recover after probes")

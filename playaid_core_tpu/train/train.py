@@ -129,7 +129,13 @@ def make_train_step(model, loss_fn):
         if state.batch_stats is not None:
             new_state = new_state.replace(batch_stats=updates["batch_stats"])
         acc = accuracy(log_probs, _match_labels(log_probs, labels))
-        return new_state, loss, acc
+        # Gradient observability (the reference watched gradients through
+        # wandb.watch, reference: action_detector.py:63-65): global grad
+        # and param L2 norms ride along as two scalars, fused into the
+        # step — logged per epoch to JSONL/TB.
+        grad_norm = optax.global_norm(grads)
+        param_norm = optax.global_norm(new_state.params)
+        return new_state, loss, acc, grad_norm, param_norm
 
     return train_step
 
@@ -282,6 +288,9 @@ class Trainer:
 
         for epoch in range(num_epochs):
             epoch_accs, epoch_losses = [], []
+            epoch_gnorms, epoch_pnorm = [], None
+            n_steps = 0
+            t_frames = 1
             start = time.time()
             batches = BackgroundIterator(
                 to_wire(self.train_dataset.batches(cfg.batch_size, steps)),
@@ -290,7 +299,7 @@ class Trainer:
             with self.mesh:
                 for frames, chars, labels in device_prefetch(batches, 2, bsh):
                     rng, step_rng = jax.random.split(rng)
-                    self.state, loss, acc = self.train_step(
+                    self.state, loss, acc, gnorm, pnorm = self.train_step(
                         self.state, frames, labels, step_rng
                     )
                     # Keep metrics on device until epoch end: a float()
@@ -298,15 +307,35 @@ class Trainer:
                     # transfer/compute overlap.
                     epoch_losses.append(loss)
                     epoch_accs.append(acc)
+                    epoch_gnorms.append(gnorm)
+                    epoch_pnorm = pnorm
+                    n_steps += 1
+                    t_frames = frames.shape[1]  # RNN resamples T per epoch
             epoch_losses = [float(v) for v in jax.device_get(epoch_losses)]
             epoch_accs = [float(v) for v in jax.device_get(epoch_accs)]
+            epoch_gnorms = [float(v) for v in jax.device_get(epoch_gnorms)]
 
             epoch_acc = float(np.mean(epoch_accs)) if epoch_accs else 0.0
+            elapsed = time.time() - start
             record = {
                 "epoch": epoch,
                 "train_loss": float(np.mean(epoch_losses)) if epoch_losses else 0.0,
                 "train_acc": epoch_acc,
-                "seconds": time.time() - start,
+                "grad_norm": float(np.mean(epoch_gnorms)) if epoch_gnorms else 0.0,
+                "grad_norm_last": epoch_gnorms[-1] if epoch_gnorms else 0.0,
+                "param_norm": (
+                    float(jax.device_get(epoch_pnorm))
+                    if epoch_pnorm is not None else 0.0
+                ),
+                "seconds": elapsed,
+                # Train throughput telemetry: steps/s and crops/s (a crop =
+                # one T-frame window member actually pushed through the
+                # encoder) for the perf record.
+                "steps_per_sec": round(n_steps / elapsed, 3) if elapsed > 0 else 0.0,
+                "crops_per_sec": (
+                    round(n_steps * cfg.batch_size * t_frames / elapsed, 1)
+                    if elapsed > 0 else 0.0
+                ),
                 "synth_difficulty": self.train_dataset.synth_difficulty,
             }
 

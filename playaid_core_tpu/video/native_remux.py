@@ -85,26 +85,36 @@ def remux(video_path, audio_src_path, out_path) -> bool:
     lib = get_library()
     if lib is None:
         raise RuntimeError("native audio remuxer unavailable")
+    # Only clean up a failure artifact WE created: some failure modes
+    # (e.g. -2 no-audio) return before the native code ever opens
+    # out_path, and a pre-existing caller file there must survive.
+    preexisting = os.path.exists(out_path)
     rc = lib.ar_remux(
         os.fspath(video_path).encode(),
         os.fspath(audio_src_path).encode(),
         os.fspath(out_path).encode(),
     )
-    if rc != 0 and os.path.exists(out_path):
+    if rc != 0 and not preexisting and os.path.exists(out_path):
         os.unlink(out_path)
     return rc == 0
 
 
 def add_tone(in_path, out_path, freq=440.0, sample_rate=44100) -> bool:
     """Copy the video of ``in_path`` and add a mono AAC sine-tone track of
-    the same duration.  Fixture authoring for tests."""
+    the same duration.  Fixture authoring for tests.
+
+    Memory bound: the native pass writes every video packet before the
+    first audio packet, so the muxer buffers the whole video stream in
+    RAM until the tone pass starts — fine for test fixtures, unsuitable
+    for real VOD-length inputs."""
     lib = get_library()
     if lib is None:
         raise RuntimeError("native audio remuxer unavailable")
+    preexisting = os.path.exists(out_path)
     rc = lib.ar_add_tone(
         os.fspath(in_path).encode(), os.fspath(out_path).encode(),
         float(freq), int(sample_rate),
     )
-    if rc != 0 and os.path.exists(out_path):
+    if rc != 0 and not preexisting and os.path.exists(out_path):
         os.unlink(out_path)
     return rc == 0

@@ -96,8 +96,11 @@ def test_trainer_loss_decreases_on_fixed_batch(tiny_gt_tree):
     state = trainer.state
     for i in range(8):
         rng, step = jax.random.split(rng)
-        state, loss, acc = trainer.train_step(state, frames, labels, step)
+        state, loss, acc, gnorm, pnorm = trainer.train_step(
+            state, frames, labels, step
+        )
         losses.append(float(loss))
+        assert float(gnorm) > 0.0 and float(pnorm) > 0.0
     assert losses[-1] < losses[0], losses
 
 

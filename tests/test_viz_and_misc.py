@@ -80,6 +80,45 @@ def test_eval_dashboard_html_report(tmp_path):
     assert content.count("<div class='strip'>") == 6
 
 
+def test_eval_dashboard_streamlit_backend_smoke(monkeypatch):
+    """Exercise the streamlit backend's real code path with a recording
+    stub (streamlit itself is not in this image): every render call the
+    dashboard makes must land, with the accuracy line present."""
+    import sys
+    import types
+
+    calls = []
+    st = types.ModuleType("streamlit")
+    st.title = lambda *a, **k: calls.append(("title", a))
+    st.image = lambda *a, **k: calls.append(("image", a))
+    st.write = lambda *a, **k: calls.append(("write", a))
+    monkeypatch.setitem(sys.modules, "streamlit", st)
+
+    from playaid_core_tpu.viz.eval_dashboard import streamlit_app
+
+    actions = ["A", "B", "C"]
+
+    class FakeDataset:
+        animations = actions
+
+        def __getitem__(self, idx):
+            rng = np.random.default_rng(idx)
+            frames = rng.uniform(size=(3, 16, 16, 3)).astype(np.float32)
+            labels = np.array([idx % 3] * 3, np.int32)
+            return frames, np.int32(0), labels, {"char": "Byleth", "actions": ["A"] * 3}
+
+    def fake_apply(frames):
+        logits = jnp.full((1, 3, 3), -5.0).at[:, :, 1].set(0.0)
+        return jax.nn.log_softmax(logits, axis=-1)
+
+    streamlit_app(fake_apply, FakeDataset(), total=4)
+    kinds = [k for k, _ in calls]
+    assert kinds.count("title") == 1
+    assert kinds.count("image") == 4 + 1  # per-sample strips + confusion matrix
+    writes = " ".join(str(a) for k, a in calls if k == "write")
+    assert "% correct" in writes
+
+
 def test_confusion_matrix_image():
     from playaid_core_tpu.viz.eval_dashboard import confusion_matrix_image
 
