@@ -60,6 +60,39 @@ def fighter_boxes(num_frames, width=1920, height=1080, box_px=260):
     return boxes
 
 
+def measure_decode_only_fps(path, boxes, chunk, lowres, stride, fast,
+                            crop_size=128, padding=30, runs=3):
+    """Host decode ceiling for the EXACT headline configuration: the
+    native decoder run standalone (decode + NONREF stride-skip + crop
+    extract + letterbox resize + yuv420 packing, dense layout), no
+    device, no transfers.  This is the number the 1-core host bounds the
+    e2e pipeline by; bench publishes it as `decode_only_fps` and the
+    ratio e2e/ceiling as `e2e_over_ceiling`."""
+    from playaid_core_tpu.video.native_decoder import NativeVideoDecoder
+
+    num_frames = boxes.shape[0]
+
+    def one_run():
+        dec = NativeVideoDecoder(path, lowres=lowres if isinstance(lowres, int)
+                                 else 0, fast=fast)
+        try:
+            t0 = time.perf_counter()
+            total = 0
+            for c0 in range(0, num_frames, chunk):
+                stop = min(c0 + chunk, num_frames)
+                cb = np.zeros((chunk, boxes.shape[1], 4), np.float32)
+                cb[: stop - c0] = boxes[c0:stop]
+                n, _ = dec.decode_crops(c0, cb, crop_size, padding,
+                                        stride=stride, fmt="yuv420",
+                                        dense=True)
+                total += min(n, stop - c0)
+            return total / (time.perf_counter() - t0)
+        finally:
+            dec.close()
+
+    return round(statistics.median(one_run() for _ in range(runs)), 1)
+
+
 def measure_device_crops_per_sec(pipe, variables, batch=512, iters=12):
     """Device-only capability: fused BGR->RGB + normalize + ResNet embed
     throughput (crops/s) on synthetic uint8 crops.  Fenced by a data
@@ -185,6 +218,22 @@ def main():
         f"realtime-x: {fps / 60:.2f} (runs: {run_fps}, "
         f"effective lowres: {eff_lowres}, fast: {eff_fast})")
 
+    # Host decode ceiling for this exact configuration (the e2e bound on
+    # a 1-core host) + how much of it the pipeline claims.
+    log("measuring decode-only ceiling (same codec/fast/lowres/stride)...")
+    decode_only_fps = None
+    e2e_over_ceiling = None
+    try:
+        decode_only_fps = measure_decode_only_fps(
+            headline_path, boxes, chunk, eff_lowres, stride,
+            True if eff_fast else False,
+        )
+        e2e_over_ceiling = round(fps / decode_only_fps, 3)
+        log(f"decode-only ceiling: {decode_only_fps:.1f} fps "
+            f"(e2e/ceiling: {e2e_over_ceiling:.3f})")
+    except Exception as e:  # noqa: BLE001
+        log(f"decode-only measurement skipped: {e}")
+
     def median_fps(an, path, bxs, runs=2):
         an.variables = analyzer.variables  # share weights + compiled embeds
         an.analyze(path, bxs)  # warm (compile for this shape/mode)
@@ -280,6 +329,10 @@ def main():
         "vs_baseline": round(fps / baseline_fps, 3),
         "runs": run_fps,
         "spread": round(run_fps[-1] - run_fps[0], 1),
+        # Host decode ceiling (same codec/fast/lowres/stride, no device):
+        # the 1-core bound on the e2e number, and the claimed fraction.
+        "decode_only_fps": decode_only_fps,
+        "e2e_over_ceiling": e2e_over_ceiling,
         "stride1_fps": stride1_fps,
         "h264_exact_fps": exact_fps,
         "mpeg4_fps": mpeg4_fps,

@@ -260,9 +260,15 @@ int vd_seek(void* h, long index) {
 //        Y then U then V — HALF the bytes of BGR for the host->device
 //        link; the device converts to RGB (BT.601 limited range, matching
 //        what swscale would do on the host).  out_size must be even.
-long vd_decode_crops_fmt(void* h, long start, long n, const float* boxes,
-                         int K, int pad, int out_size, int stride, int fmt,
-                         unsigned char* out) {
+// dense != 0 packs extracted frames' crops contiguously: frame i (i %
+// stride == 0) writes to output slot i/stride, so `out` is
+// [ceil(n/stride), K, ...] and the caller ships it to the device without
+// a host-side strided gather.  dense == 0 keeps the sparse layout
+// ([n, K, ...], non-extracted slots untouched).
+static long vd_decode_crops_impl(void* h, long start, long n,
+                                 const float* boxes, int K, int pad,
+                                 int out_size, int stride, int fmt, int dense,
+                                 unsigned char* out) {
   Decoder* d = (Decoder*)h;
   if (stride < 1) stride = 1;
   if (fmt == 1 && (out_size & 1)) return -10;
@@ -334,6 +340,7 @@ long vd_decode_crops_fmt(void* h, long start, long n, const float* boxes,
       av_frame_unref(d->frame);
       continue;
     }
+    const long slot = dense ? i / stride : i;
     const AVFrame* f = d->frame;
     const int dec_w = f->width, dec_h = f->height;
     // Full-res -> decoded-res scale (1 unless lowres).
@@ -344,7 +351,7 @@ long vd_decode_crops_fmt(void* h, long start, long n, const float* boxes,
       // U=V=128 in limited range == BGR 0,0,0) so letterbox/skip areas
       // match the BGR path's black.
       for (int k = 0; k < K; ++k) {
-        unsigned char* blk = out + ((size_t)i * K + k) * crop_bytes;
+        unsigned char* blk = out + ((size_t)slot * K + k) * crop_bytes;
         memset(blk, 16, y_bytes);
         memset(blk + y_bytes, 128, 2 * c_bytes);
       }
@@ -399,7 +406,7 @@ long vd_decode_crops_fmt(void* h, long start, long n, const float* boxes,
       if (dw < (fmt == 1 ? 2 : 1) || dh < (fmt == 1 ? 2 : 1)) continue;
       const AVPixelFormat dst_fmt =
           fmt == 1 ? AV_PIX_FMT_YUV420P : AV_PIX_FMT_BGR24;
-      unsigned char* crop = out + ((size_t)i * K + k) * crop_bytes;
+      unsigned char* crop = out + ((size_t)slot * K + k) * crop_bytes;
       const int cs = out_size / 2;
       uint8_t* dst[4] = {nullptr, nullptr, nullptr, nullptr};
       int dst_stride[4] = {0, 0, 0, 0};
@@ -472,10 +479,24 @@ long vd_decode_crops_fmt(void* h, long start, long n, const float* boxes,
   return decoded;
 }
 
+long vd_decode_crops_fmt(void* h, long start, long n, const float* boxes,
+                         int K, int pad, int out_size, int stride, int fmt,
+                         unsigned char* out) {
+  return vd_decode_crops_impl(h, start, n, boxes, K, pad, out_size, stride,
+                              fmt, 0, out);
+}
+
+long vd_decode_crops_dense(void* h, long start, long n, const float* boxes,
+                           int K, int pad, int out_size, int stride, int fmt,
+                           unsigned char* out) {
+  return vd_decode_crops_impl(h, start, n, boxes, K, pad, out_size, stride,
+                              fmt, 1, out);
+}
+
 long vd_decode_crops(void* h, long start, long n, const float* boxes, int K,
                      int pad, int out_size, int stride, unsigned char* out) {
-  return vd_decode_crops_fmt(h, start, n, boxes, K, pad, out_size, stride, 0,
-                             out);
+  return vd_decode_crops_impl(h, start, n, boxes, K, pad, out_size, stride, 0,
+                              0, out);
 }
 
 // Enable/disable stride-skip (see Decoder::stride_skip).  Off by default;

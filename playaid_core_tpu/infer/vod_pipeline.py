@@ -289,9 +289,12 @@ class NativeChunkDecoder:
                 # reuses the same compiled device programs.
                 chunk_boxes = np.zeros((self.chunk, k, 4), np.float32)
                 chunk_boxes[: stop - start] = self.boxes[start:stop]
+                # dense=True packs extracted frames contiguously in the
+                # output ([chunk//stride, K, ...]), so the staging thread
+                # ships the buffer without a strided host-side gather.
                 n, crops = dec.decode_crops(
                     start, chunk_boxes, self.crop_size, self.padding,
-                    stride=self.stride, fmt=self.fmt,
+                    stride=self.stride, fmt=self.fmt, dense=True,
                 )
                 n = min(n, stop - start)
                 with self._cond:
@@ -539,11 +542,15 @@ class VodAnalyzer:
                 return extract_crops(frame, boxes[i], crop_size, padding)
 
             def collate(start, items):
+                # Dense layout (matching the native decoder's dense=True):
+                # sampled frame j lands in row j//stride, so the consumer
+                # reshapes without a strided gather.
                 n = len(items)
-                crops = np.zeros((chunk, 2, crop_size, crop_size, 3), np.uint8)
+                crops = np.zeros((chunk // stride, 2, crop_size, crop_size, 3),
+                                 np.uint8)
                 for j, c in enumerate(items):
                     if c is not None:
-                        crops[j] = c
+                        crops[j // stride] = c
                 return n, crops, None
         else:
             def transform(i, frame):
@@ -647,9 +654,11 @@ class VodAnalyzer:
                                 return
                             if n == 0:
                                 continue
-                            sampled = wins[::stride] if stride > 1 else wins
-                            flat = sampled.reshape(
-                                (samples_per_chunk * 2,) + sampled.shape[2:]
+                            # Both decode paths emit dense [chunk//stride,
+                            # 2, ...] buffers — a contiguous reshape, no
+                            # strided copy.
+                            flat = wins.reshape(
+                                (samples_per_chunk * 2,) + wins.shape[2:]
                             )
                             if not _put((start, n, to_device(flat))):
                                 return

@@ -224,10 +224,19 @@ class Annotator:
             return
 
         cache = []
+        # Identity blit-skip: chart renderers return lru-cached arrays, so
+        # an unchanged panel comes back as the SAME object — and since the
+        # canvas persists across frames with only the video region
+        # rewritten, its pixels are already on the canvas.  Skipping the
+        # re-blit is pixel-exact and removes ~5 MB/frame of copies during
+        # quiet stretches.
+        prev = getattr(self, "_panel_prev", {})
+        fresh = not prev or self._panels_stale
 
         def blit(image, x, y):
             cache.append((image, x, y))
-            self._blit(image, x, y)
+            if fresh or prev.get((x, y)) is not image:
+                self._blit(image, x, y)
 
         index_to_side_x = {0: 0, 1: self.left_padding + self.input_width}
         index_to_bottom_x = {0: 0, 1: self.output_width // 2}
@@ -252,6 +261,7 @@ class Annotator:
             )
             blit(image, x, y)
         self._panel_cache = cache
+        self._panel_prev = {(x, y): image for image, x, y in cache}
         self._panels_stale = False
 
     def basic_counter(self, x, fighter, stats):

@@ -9,11 +9,22 @@ history strips — match the reference; pixel output is matplotlib's.
 All renderers are pure (stats data in, RGBA array out) and cached on their
 data tuples, mirroring the reference's lru_caches
 (reference: bar_charts.py:95,135,334; onscreen.py:37).
+
+Two rasterizer backends share these chart semantics:
+
+* ``"fast"`` (default) — the array-native renderers in
+  :mod:`playaid_core_tpu.render.fastcharts`: cached static chrome +
+  cv2 bar fills, ~10-30x cheaper per render.  This is what makes the
+  every-frame charts-on GT path real-time on a 1-core host.
+* ``"mpl"`` — matplotlib-Agg rasterization (the round-1..3 backend).
+
+Select with ``set_chart_backend()`` or ``PLAYAID_CHART_BACKEND``.
 """
 
 from __future__ import annotations
 
 import math
+import os
 import threading
 from functools import lru_cache
 
@@ -110,6 +121,22 @@ def data_to_ys(data, symbol_to_word, anim_to_category, moves):
     return ys
 
 
+# Rasterizer backend: "fast" (array-native, default) or "mpl".
+_CHART_BACKEND = os.environ.get("PLAYAID_CHART_BACKEND", "fast")
+
+
+def set_chart_backend(name):
+    """Switch the chart rasterizer ("fast" or "mpl") process-wide."""
+    global _CHART_BACKEND
+    if name not in ("fast", "mpl"):
+        raise ValueError(f"unknown chart backend {name!r}")
+    _CHART_BACKEND = name
+
+
+def get_chart_backend():
+    return _CHART_BACKEND
+
+
 _FIG_POOL = threading.local()
 
 
@@ -136,9 +163,12 @@ def _new_axes(width, height, title):
     return fig, ax
 
 
+def _hex_to_rgb(h):
+    return tuple(int(h[i:i + 2], 16) for i in (1, 3, 5))
+
+
 @lru_cache(maxsize=32)
-def bar_graph_image(actions, counts, width=400, height=360, title="actions", orientation=0.0):
-    """Simple colored bar chart (reference: bar_charts.py:34-63)."""
+def _bar_graph_image_mpl(actions, counts, width, height, title, orientation):
     fig, ax = _new_axes(width, height, title)
     labels = _move_labels(actions)
     xs = np.arange(len(labels))
@@ -151,12 +181,27 @@ def bar_graph_image(actions, counts, width=400, height=360, title="actions", ori
     return figure_to_rgba(fig, width, height)
 
 
+def bar_graph_image(actions, counts, width=400, height=360, title="actions", orientation=0.0):
+    """Simple colored bar chart (reference: bar_charts.py:34-63)."""
+    if _CHART_BACKEND == "fast":
+        from playaid_core_tpu.render import fastcharts
+
+        labels = tuple(_move_labels(actions))
+        palette = tuple(_hex_to_rgb(_PALETTE[i % len(_PALETTE)])
+                        for i in range(len(labels)))
+        return fastcharts.bar_graph_image(
+            labels, tuple(counts), width=width, height=height, title=title,
+            rotated=bool(orientation), palette=palette,
+        )
+    return _bar_graph_image_mpl(tuple(actions), tuple(counts), width, height,
+                                title, orientation)
+
+
 @lru_cache(maxsize=32)
-def _success_vs_punished_image(
-    moves, success, punished, title, width=400, height=240,
-    punished_label="punished", success_label="success",
+def _success_vs_punished_image_mpl(
+    moves, success, punished, title, width, height,
+    punished_label, success_label,
 ):
-    """Stacked red/blue bar chart (reference: bar_charts.py:135-175)."""
     fig, ax = _new_axes(width, height, title)
     labels = _move_labels(moves)
     xs = np.arange(len(labels))
@@ -169,11 +214,29 @@ def _success_vs_punished_image(
     return figure_to_rgba(fig, width, height)
 
 
-@lru_cache(maxsize=32)
-def _success_punished_missed_image(
-    moves, success, punished, missed, title, width=720, height=400, orientation=0.0
+def _success_vs_punished_image(
+    moves, success, punished, title, width=400, height=240,
+    punished_label="punished", success_label="success",
 ):
-    """Gray/red/blue stacked bars (reference: bar_charts.py:334-376)."""
+    """Stacked red/blue bar chart (reference: bar_charts.py:135-175)."""
+    if _CHART_BACKEND == "fast":
+        from playaid_core_tpu.render import fastcharts
+
+        return fastcharts.success_vs_punished_image(
+            tuple(_move_labels(moves)), tuple(success), tuple(punished),
+            title, width=width, height=height,
+            punished_label=punished_label, success_label=success_label,
+        )
+    return _success_vs_punished_image_mpl(
+        tuple(moves), tuple(success), tuple(punished), title, width, height,
+        punished_label, success_label,
+    )
+
+
+@lru_cache(maxsize=32)
+def _success_punished_missed_image_mpl(
+    moves, success, punished, missed, title, width, height, orientation
+):
     fig, ax = _new_axes(width, height, title)
     labels = _move_labels(moves)
     xs = np.arange(len(labels))
@@ -190,9 +253,26 @@ def _success_punished_missed_image(
     return figure_to_rgba(fig, width, height)
 
 
+def _success_punished_missed_image(
+    moves, success, punished, missed, title, width=720, height=400, orientation=0.0
+):
+    """Gray/red/blue stacked bars (reference: bar_charts.py:334-376)."""
+    if _CHART_BACKEND == "fast":
+        from playaid_core_tpu.render import fastcharts
+
+        return fastcharts.success_punished_missed_image(
+            tuple(_move_labels(moves)), tuple(success), tuple(punished),
+            tuple(missed), title, width=width, height=height,
+            rotated=bool(orientation),
+        )
+    return _success_punished_missed_image_mpl(
+        tuple(moves), tuple(success), tuple(punished), tuple(missed), title,
+        width, height, orientation,
+    )
+
+
 @lru_cache(maxsize=20)
-def _move_pie_chart(success, punished, missed, size):
-    """Blue/red/gray move-outcome pie (reference: graphs/onscreen.py:37-78)."""
+def _move_pie_chart_mpl(success, punished, missed, size):
     fig = Figure(dpi=100)
     FigureCanvasAgg(fig)
     ax = fig.add_subplot(111)
@@ -205,6 +285,15 @@ def _move_pie_chart(success, punished, missed, size):
     fig.patch.set_alpha(0.0)
     img = figure_to_rgba(fig, size, size)
     return None, img
+
+
+def _move_pie_chart(success, punished, missed, size):
+    """Blue/red/gray move-outcome pie (reference: graphs/onscreen.py:37-78)."""
+    if _CHART_BACKEND == "fast":
+        from playaid_core_tpu.render import fastcharts
+
+        return None, fastcharts.move_pie_image(success, punished, missed, size)
+    return _move_pie_chart_mpl(success, punished, missed, size)
 
 
 def move_pie_chart(fighter, stats, size):
@@ -456,9 +545,12 @@ def _timeline_strip(title, fighter, stats, moves, removed_words=()):
             counters = stats.move_counters(fighter, history.action)
             history_entries.append((history.action, frame, counters))
 
+    # Returned array is the lru-cached object itself — read-only by
+    # contract (the annotator only blits it, and the identity lets its
+    # blit-skip detect unchanged panels).
     return _timeline_strip_image(
         title, tuple(history_entries[-5:]), tuple(removed_words)
-    ).copy()
+    )
 
 
 @lru_cache(maxsize=64)

@@ -78,6 +78,8 @@ def get_library():
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_ubyte),
         ]
+        lib.vd_decode_crops_dense.restype = ctypes.c_long
+        lib.vd_decode_crops_dense.argtypes = lib.vd_decode_crops_fmt.argtypes
         lib.vd_close.restype = None
         lib.vd_close.argtypes = [ctypes.c_void_p]
         lib.vd_set_stride_skip.restype = None
@@ -154,7 +156,7 @@ class NativeVideoDecoder:
         return self._lib.vd_num_frames(self._h)
 
     def decode_crops(self, start, boxes, out_size=128, padding=30, stride=1,
-                     out=None, fmt="bgr"):
+                     out=None, fmt="bgr", dense=False):
         """Decode ``boxes.shape[0]`` frames from ``start`` and extract
         ``boxes.shape[1]`` crops per (strided) frame.
 
@@ -164,6 +166,11 @@ class NativeVideoDecoder:
         packed planar Y/U/V) — half the bytes for the host->device link;
         convert on device (BT.601 limited range).  Skipped or out-of-frame
         regions are black in both formats.
+
+        ``dense=True`` packs extracted frames contiguously — the output's
+        first axis is ``ceil(n/stride)`` and frame i lands in slot
+        i//stride, so stride>1 callers ship the buffer without a strided
+        host-side gather.  ``decoded_count`` stays in frame units.
         """
         boxes = np.ascontiguousarray(boxes, dtype=np.float32)
         n, k = boxes.shape[0], boxes.shape[1]
@@ -178,15 +185,18 @@ class NativeVideoDecoder:
                 f"fractional padding"
             )
         fmt_i = {"bgr": 0, "yuv420": 1}[fmt]
+        rows = (n + stride - 1) // stride if dense else n
         shape = (
-            (n, k, out_size, out_size, 3) if fmt_i == 0
-            else (n, k, out_size * out_size * 3 // 2)
+            (rows, k, out_size, out_size, 3) if fmt_i == 0
+            else (rows, k, out_size * out_size * 3 // 2)
         )
         if out is None:
             out = np.zeros(shape, np.uint8)
         else:
             out[:] = 0
-        decoded = self._lib.vd_decode_crops_fmt(
+        call = (self._lib.vd_decode_crops_dense if dense
+                else self._lib.vd_decode_crops_fmt)
+        decoded = call(
             self._h, int(start), int(n),
             boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), int(k),
             int(padding), int(out_size), int(stride), fmt_i,

@@ -22,7 +22,14 @@ from playaid_core_tpu.timeline import (
 )
 from tests.synthlog import scripted_match, write_log
 
-FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "chart_hashes.json")
+# One golden set per rasterizer backend: "fast" (array-native, deployed
+# default) and "mpl" (matplotlib).  chart_hashes.json keeps its historical
+# name for the mpl set.
+FIXTURES = {
+    "mpl": os.path.join(os.path.dirname(__file__), "fixtures", "chart_hashes.json"),
+    "fast": os.path.join(os.path.dirname(__file__), "fixtures",
+                         "chart_hashes_fast.json"),
+}
 
 
 @pytest.fixture(scope="module")
@@ -68,17 +75,24 @@ def _render_all(fighter, stats):
     return {name: _hash(img) for name, img in renders.items() if img is not None}
 
 
-def test_chart_pixels_match_goldens(fighter_stats):
+@pytest.mark.parametrize("backend", ["fast", "mpl"])
+def test_chart_pixels_match_goldens(fighter_stats, backend):
     fighter, stats = fighter_stats
-    current = _render_all(fighter, stats)
+    prev = charts.get_chart_backend()
+    charts.set_chart_backend(backend)
+    try:
+        current = _render_all(fighter, stats)
+    finally:
+        charts.set_chart_backend(prev)
+    fixture = FIXTURES[backend]
     if os.environ.get("GOLDEN_REGEN"):
-        with open(FIXTURE, "w") as f:
+        with open(fixture, "w") as f:
             json.dump(current, f, indent=2, sort_keys=True)
         pytest.skip("goldens regenerated")
-    assert os.path.exists(FIXTURE), (
+    assert os.path.exists(fixture), (
         "chart goldens missing; run GOLDEN_REGEN=1 pytest tests/test_chart_goldens.py"
     )
-    with open(FIXTURE) as f:
+    with open(fixture) as f:
         golden = json.load(f)
     assert current == golden, {
         k: (golden.get(k), current.get(k))

@@ -154,6 +154,21 @@ def test_stride_skips_extraction(video):
     assert crops[0::2].max() > 0
 
 
+def test_dense_stride_matches_sparse(video):
+    """dense=True packs the extracted frames contiguously and must hold
+    exactly the sparse layout's extracted rows, for both output formats."""
+    path, boxes = video
+    for fmt in ("bgr", "yuv420"):
+        with native_decoder.NativeVideoDecoder(path) as dec:
+            n_s, sparse = dec.decode_crops(0, boxes, 128, 30, stride=3, fmt=fmt)
+        with native_decoder.NativeVideoDecoder(path) as dec:
+            n_d, dense = dec.decode_crops(0, boxes, 128, 30, stride=3, fmt=fmt,
+                                          dense=True)
+        assert n_d == n_s
+        assert dense.shape[0] == (boxes.shape[0] + 2) // 3
+        np.testing.assert_array_equal(dense, sparse[::3])
+
+
 def test_yuv420_format_matches_bgr(video):
     """The packed YUV420 transfer format reconstructs to the same RGB as
     the BGR format (up to 4:2:0 chroma subsampling at color edges)."""

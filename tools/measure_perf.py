@@ -1,7 +1,13 @@
 #!/usr/bin/env python
-"""Measure per-stage device throughput on the attached TPU; prints JSON.
+"""Measure per-stage device throughput AND MFU on the attached TPU.
 
-Feeds docs/PERFORMANCE.md.  Run: python tools/measure_perf.py
+For every hot device stage this reports achieved items/s, the XLA
+cost-analysis FLOP count of the compiled program, achieved TFLOP/s and
+MFU (% of the chip's bf16 peak).  FLOPs come from the compiled
+executable's own cost analysis, so they are the program actually run —
+no hand-derived per-layer arithmetic.  Feeds docs/PERFORMANCE.md.
+
+Run: python tools/measure_perf.py
 """
 
 import json
@@ -13,8 +19,57 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+try:  # clear tunnel staleness before the first device touch (no-op on CPU)
+    from playaid_core_tpu.tpu_warmup import warm_tunnel
+
+    warm_tunnel(log=lambda m: print(m, file=sys.stderr, flush=True))
+except Exception:
+    pass
+
 import jax
 import jax.numpy as jnp
+
+
+# Dense bf16 peak FLOP/s per chip by TPU generation (public spec sheets).
+# Device kind strings as PJRT reports them.
+_CHIP_PEAKS = {
+    "TPU v5 lite": 197e12,   # v5e
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,        # v5p
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,   # v6e / Trillium
+    "TPU v6e": 918e12,
+}
+
+
+def chip_peak_flops(device=None):
+    """bf16 peak FLOP/s for the attached chip (None when unknown, e.g.
+    the CPU backend in tests)."""
+    device = device or jax.devices()[0]
+    kind = getattr(device, "device_kind", str(device))
+    # Longest matching prefix wins ("TPU v5 lite" before "TPU v5").
+    best = None
+    for name, peak in _CHIP_PEAKS.items():
+        if kind.startswith(name) and (best is None or len(name) > len(best[0])):
+            best = (name, peak)
+    return best[1] if best else None
+
+
+def compiled_flops(fn, *args):
+    """FLOP count of the compiled program per XLA's own cost analysis.
+    Returns None when the backend doesn't expose it."""
+    try:
+        compiled = jax.jit(fn).lower(*args).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = ca.get("flops")
+        return float(flops) if flops else None
+    except Exception:
+        return None
 
 
 def _force_sync(out):
@@ -35,20 +90,42 @@ def timeit(fn, *args, iters=20):
     return (time.perf_counter() - t0) / iters
 
 
+def stage_stats(results, key, fn, *args, items=None, iters=20):
+    """Time ``fn`` and record items/s + FLOPs + TFLOP/s + MFU under
+    ``key`` in ``results``."""
+    dt = timeit(fn, *args, iters=iters)
+    if items:
+        results[f"{key}_per_s"] = round(items / dt)
+    results[f"{key}_ms"] = round(dt * 1e3, 3)
+    flops = compiled_flops(fn, *args)
+    if flops:
+        results[f"{key}_gflops"] = round(flops / 1e9, 2)
+        tps = flops / dt
+        results[f"{key}_tflops_per_s"] = round(tps / 1e12, 1)
+        peak = chip_peak_flops()
+        if peak:
+            results[f"{key}_mfu"] = round(tps / peak, 3)
+    return dt
+
+
 def main():
     from playaid_core_tpu.infer.pipeline import BatchedActionPipeline
     from playaid_core_tpu.models.resnet_transformer import ResnetTransformerDetector
     from playaid_core_tpu.ops.pallas_kernels import pallas_square_crop_resize
 
     results = {"backend": jax.default_backend(), "device": str(jax.devices()[0])}
-    batch = 256
+    peak = chip_peak_flops()
+    if peak:
+        results["chip_bf16_peak_tflops"] = round(peak / 1e12)
+    batch = int(os.environ.get("PERF_BATCH", "256"))
     crops = jnp.zeros((batch, 128, 128, 3), jnp.float32)
 
     for family in ("cnn", "resformer", "rnn"):
         pipe = BatchedActionPipeline(family=family, dtype=jnp.bfloat16)
         v = pipe.init(jax.random.PRNGKey(0))
-        dt = timeit(lambda c: pipe.embed_crops(v, c), crops)
-        results[f"embed_{family}_crops_per_s"] = round(batch / dt)
+        stage_stats(results, f"embed_{family}_crops",
+                    lambda c, _v=v, _p=pipe: _p.embed_crops(_v, c), crops,
+                    items=batch)
 
     # Pallas fused crop from 720p frames.
     frames = jnp.zeros((64, 720, 1280, 3), jnp.uint8)
@@ -63,17 +140,17 @@ def main():
     pipe_yuv = BatchedActionPipeline(family="cnn", dtype=jnp.bfloat16)
     v_yuv = pipe_yuv.init(jax.random.PRNGKey(0))
     crops_yuv = jnp.zeros((batch, 128 * 128 * 3 // 2), jnp.uint8)
-    dt = timeit(lambda c: pipe_yuv.embed_crops_yuv(v_yuv, c), crops_yuv)
-    results["embed_cnn_yuv_crops_per_s"] = round(batch / dt)
+    stage_stats(results, "embed_cnn_yuv_crops",
+                lambda c: pipe_yuv.embed_crops_yuv(v_yuv, c), crops_yuv,
+                items=batch)
 
     # Full monolithic ResFormer forward (window-at-a-time baseline).
     model = ResnetTransformerDetector(num_actions=63, sequence_length=7,
                                       dtype=jnp.bfloat16)
     x = jnp.zeros((16, 7, 128, 128, 3), jnp.float32)
     mv = model.init(jax.random.PRNGKey(0), x)
-    apply = jax.jit(lambda v, x: model.apply(v, x))
-    dt = timeit(apply, mv, x)
-    results["resformer_windows_per_s"] = round(16 / dt)
+    stage_stats(results, "resformer_windows",
+                lambda v_, x_: model.apply(v_, x_), mv, x, items=16)
 
     # Temporal-head classify over a long embedding sequence.
     pipe = BatchedActionPipeline(family="cnn", dtype=jnp.bfloat16)
@@ -81,6 +158,37 @@ def main():
     seq = jnp.zeros((4096, 1000), jnp.float32)
     dt = timeit(lambda s: pipe.classify_sequence(v, s)[0], seq)
     results["cnn_head_frames_per_s"] = round(4096 / dt)
+
+    # Flagship ResFormer train step (fwd+bwd+adam), the capstone config:
+    # batch 16, T=7, 128px, bf16.
+    if os.environ.get("PERF_TRAIN", "1") == "1":
+        from playaid_core_tpu.train.train import (
+            create_train_state, make_train_step, build_model,
+        )
+
+        tb, tt = 16, 7
+        tmodel, tloss = build_model("resformer", 47, tt, jnp.bfloat16)
+        tstate = create_train_state(
+            tmodel, jax.random.PRNGKey(0),
+            jnp.zeros((1, tt, 128, 128, 3), jnp.float32), 3e-4,
+        )
+        tstep = make_train_step(tmodel, tloss)
+        tframes = jnp.zeros((tb, tt, 128, 128, 3), jnp.uint8)
+        tlabels = jnp.zeros((tb, tt), jnp.int32)
+        rng = jax.random.PRNGKey(1)
+
+        def train_fn(state, frames, labels):
+            return tstep(state, frames, labels, rng)
+
+        dt = timeit(lambda s: train_fn(s, tframes, tlabels)[1], tstate, iters=10)
+        results["train_resformer_steps_per_s"] = round(1 / dt, 2)
+        results["train_resformer_crops_per_s"] = round(tb * tt / dt)
+        flops = compiled_flops(lambda s: train_fn(s, tframes, tlabels)[1], tstate)
+        if flops:
+            results["train_resformer_gflops"] = round(flops / 1e9, 2)
+            results["train_resformer_tflops_per_s"] = round(flops / dt / 1e12, 1)
+            if peak:
+                results["train_resformer_mfu"] = round(flops / dt / peak, 3)
 
     print(json.dumps(results, indent=1))
 
