@@ -123,15 +123,31 @@ def test_charts_render_concurrently(tmp_path):
             for _ in range(6):
                 _, img = charts.move_damage_graph(fighter, stats, width=300, height=200)
                 assert img.shape == (200, 300, 4)
-                charts._success_vs_punished_image.cache_clear()
+                # Force re-renders (cache hits would dodge the race) on
+                # whichever rasterizer backend is active.
+                if charts.get_chart_backend() == "mpl":
+                    charts._success_vs_punished_image_mpl.cache_clear()
+                else:
+                    from playaid_core_tpu.render import fastcharts
+
+                    fastcharts.success_vs_punished_image.cache_clear()
         except Exception as e:  # pragma: no cover
             errors.append(e)
 
-    threads = [threading.Thread(target=worker, args=(f,)) for f in fighters * 3]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
+    # Both backends must be thread-safe: "mpl" (Figure-API, no pyplot
+    # global registry) and "fast" (cv2+PIL on per-call arrays).
+    for backend in ("fast", "mpl"):
+        prev = charts.get_chart_backend()
+        charts.set_chart_backend(backend)
+        try:
+            threads = [threading.Thread(target=worker, args=(f,))
+                       for f in fighters * 3]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+        finally:
+            charts.set_chart_backend(prev)
     assert not errors, errors
 
 

@@ -93,6 +93,7 @@ def timeit(fn, *args, iters=20):
 def stage_stats(results, key, fn, *args, items=None, iters=20):
     """Time ``fn`` and record items/s + FLOPs + TFLOP/s + MFU under
     ``key`` in ``results``."""
+    print(f"[measure] {key}...", file=sys.stderr, flush=True)
     dt = timeit(fn, *args, iters=iters)
     if items:
         results[f"{key}_per_s"] = round(items / dt)
@@ -105,6 +106,9 @@ def stage_stats(results, key, fn, *args, items=None, iters=20):
         peak = chip_peak_flops()
         if peak:
             results[f"{key}_mfu"] = round(tps / peak, 3)
+    print(f"[measure] {key}: "
+          f"{ {k: v for k, v in results.items() if k.startswith(key)} }",
+          file=sys.stderr, flush=True)
     return dt
 
 
