@@ -20,6 +20,7 @@ from functools import partial
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 ModuleDef = Any
@@ -81,11 +82,60 @@ class BottleneckBlock(nn.Module):
         return nn.relu(residual + y)
 
 
+def _s2d_stem_kernel(w):
+    """Rearrange a [7, 7, C, F] stride-2 stem kernel into the equivalent
+    [4, 4, 4C, F] kernel over 2x2 space-to-depth input.
+
+    Derivation: with ky' = ky + 1 (one zero row/col padded at the FRONT),
+    the source pixel index 2*oy + ky - 3 becomes 2*(oy + ty - 2) + dy for
+    ky' = 2*ty + dy — i.e. a 4x4 stride-1 conv over the 2x2-block grid
+    with block padding (2, 1).  Exact (same arithmetic, re-tiled); the
+    MLPerf-ResNet space-to-depth trick.
+    """
+    w8 = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    k, _, c, f = w8.shape[0] // 2, None, w8.shape[2], w8.shape[3]
+    # [8, 8, C, F] -> [ty, dy, tx, dx, C, F] -> [ty, tx, dy, dx, C, F]
+    w4 = w8.reshape(4, 2, 4, 2, c, f).transpose(0, 2, 1, 3, 4, 5)
+    return w4.reshape(4, 4, 4 * c, f)
+
+
+class _S2DStem(nn.Module):
+    """Space-to-depth stem: owns the SAME [7, 7, C, F] ``kernel`` param
+    an nn.Conv stem would (tree path ``conv_init/kernel`` — checkpoints
+    and torch-converted weights load unchanged), computed as the exact
+    equivalent 4x4 stride-1 conv over 2x2-block input."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w_, c = x.shape
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (7, 7, c, self.features)
+        )
+        k4 = _s2d_stem_kernel(kernel).astype(self.dtype)
+        x2 = x.reshape(b, h // 2, 2, w_ // 2, 2, c)
+        x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w_ // 2, 4 * c)
+        return jax.lax.conv_general_dilated(
+            x2.astype(self.dtype), k4, window_strides=(1, 1),
+            padding=[(2, 1), (2, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 class ResNet(nn.Module):
     """ResNet v1 with a 7x7/2 stem and 3x3/2 max-pool.
 
     num_classes=0 -> return globally-pooled features
     (512 for ResNet-18, 2048 for ResNet-50).
+
+    ``s2d_stem=True`` computes the stem as a 4x4 stride-1 conv over
+    2x2 space-to-depth input — mathematically identical (the kernel is
+    rearranged in-graph from the same ``conv_init`` parameter, so
+    checkpoints/converted weights are unaffected) but it quadruples the
+    stem's input-channel depth (3 -> 12), which the MXU tiles far better
+    than a 3-channel 7x7 window.
     """
 
     stage_sizes: Sequence[int]
@@ -96,6 +146,7 @@ class ResNet(nn.Module):
     # Return the pre-pool stride-32 feature map instead of pooled
     # features/logits (used by the detector trunk).
     return_feature_map: bool = False
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -109,7 +160,11 @@ class ResNet(nn.Module):
         )
 
         x = x.astype(self.dtype)
-        x = conv(self.num_filters, (7, 7), (2, 2), padding=[(3, 3), (3, 3)], name="conv_init")(x)
+        if self.s2d_stem and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            x = _S2DStem(self.num_filters, dtype=self.dtype, name="conv_init")(x)
+        else:
+            x = conv(self.num_filters, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
+                     name="conv_init")(x)
         x = norm(name="bn_init")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

@@ -147,3 +147,22 @@ def test_bf16_compute_path(dtype):
     # Output promoted back to f32 log-probs.
     assert out.dtype == jnp.float32
     np.testing.assert_allclose(np.exp(np.asarray(out)).sum(axis=2), 1.0, rtol=1e-2)
+
+
+def test_s2d_stem_exact_equivalence():
+    """The space-to-depth stem is an exact in-graph re-tiling of the same
+    conv_init/kernel parameter: identical param tree, identical output."""
+    from playaid_core_tpu.models.resnet import make_resnet
+
+    x = np.asarray(jax.random.normal(KEY, (2, 64, 64, 3)), np.float32)
+    m1 = make_resnet("resnet18", num_classes=7)
+    m2 = make_resnet("resnet18", num_classes=7, s2d_stem=True)
+    v = m1.init(KEY, jnp.asarray(x))
+    assert (jax.tree_util.tree_structure(v["params"])
+            == jax.tree_util.tree_structure(m2.init(KEY, jnp.asarray(x))["params"]))
+    o1 = np.asarray(m1.apply(v, jnp.asarray(x), train=False))
+    o2 = np.asarray(m2.apply(v, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(o1, o2, rtol=1e-4, atol=1e-4)
+    # Odd spatial sizes fall back to the direct 7x7 conv.
+    o3 = np.asarray(m2.apply(v, jnp.asarray(x[:, :63, :63]), train=False))
+    assert o3.shape == (2, 7)

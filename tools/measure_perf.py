@@ -130,6 +130,11 @@ def main():
         stage_stats(results, f"embed_{family}_crops",
                     lambda c, _v=v, _p=pipe: _p.embed_crops(_v, c), crops,
                     items=batch)
+        if family == "cnn":
+            big = jnp.zeros((1024, 128, 128, 3), jnp.float32)
+            stage_stats(results, "embed_cnn_crops_b1024",
+                        lambda c, _v=v, _p=pipe: _p.embed_crops(_v, c), big,
+                        items=1024, iters=8)
 
     # Pallas fused crop from 720p frames.
     frames = jnp.zeros((64, 720, 1280, 3), jnp.uint8)
@@ -163,36 +168,52 @@ def main():
     dt = timeit(lambda s: pipe.classify_sequence(v, s)[0], seq)
     results["cnn_head_frames_per_s"] = round(4096 / dt)
 
-    # Flagship ResFormer train step (fwd+bwd+adam), the capstone config:
-    # batch 16, T=7, 128px, bf16.
+    # Flagship ResFormer train step (fwd+bwd+adam): the capstone batch
+    # (16) and the saturating batch (128).  MFU methodology: XLA's
+    # cost_analysis undercounts gradient programs (measured train-step
+    # "flops" ~= the forward count alone), so train FLOPs use the
+    # standard 3x-forward accounting against the monolithic model's
+    # compiled forward FLOPs at the same shape.
     if os.environ.get("PERF_TRAIN", "1") == "1":
         from playaid_core_tpu.train.train import (
             create_train_state, make_train_step, build_model,
         )
 
-        tb, tt = 16, 7
+        tt = 7
         tmodel, tloss = build_model("resformer", 47, tt, jnp.bfloat16)
-        tstate = create_train_state(
-            tmodel, jax.random.PRNGKey(0),
-            jnp.zeros((1, tt, 128, 128, 3), jnp.float32), 3e-4,
-        )
         tstep = make_train_step(tmodel, tloss)
-        tframes = jnp.zeros((tb, tt, 128, 128, 3), jnp.uint8)
-        tlabels = jnp.zeros((tb, tt), jnp.int32)
         rng = jax.random.PRNGKey(1)
+        for tb in (16, 128):
+            tstate = create_train_state(
+                tmodel, jax.random.PRNGKey(0),
+                jnp.zeros((1, tt, 128, 128, 3), jnp.float32), 3e-4,
+            )
+            tframes = jnp.zeros((tb, tt, 128, 128, 3), jnp.uint8)
+            tlabels = jnp.zeros((tb, tt), jnp.int32)
 
-        def train_fn(state, frames, labels):
-            return tstep(state, frames, labels, rng)
+            def train_fn(state, frames, labels):
+                return tstep(state, frames, labels, rng)
 
-        dt = timeit(lambda s: train_fn(s, tframes, tlabels)[1], tstate, iters=10)
-        results["train_resformer_steps_per_s"] = round(1 / dt, 2)
-        results["train_resformer_crops_per_s"] = round(tb * tt / dt)
-        flops = compiled_flops(lambda s: train_fn(s, tframes, tlabels)[1], tstate)
-        if flops:
-            results["train_resformer_gflops"] = round(flops / 1e9, 2)
-            results["train_resformer_tflops_per_s"] = round(flops / dt / 1e12, 1)
-            if peak:
-                results["train_resformer_mfu"] = round(flops / dt / peak, 3)
+            key = f"train_resformer_b{tb}"
+            print(f"[measure] {key}...", file=sys.stderr, flush=True)
+            dt = timeit(lambda s: train_fn(s, tframes, tlabels)[1], tstate,
+                        iters=10)
+            results[f"{key}_steps_per_s"] = round(1 / dt, 2)
+            results[f"{key}_crops_per_s"] = round(tb * tt / dt)
+            fwd_flops = compiled_flops(
+                lambda v_, x_: tmodel.apply(v_, x_, train=False),
+                {"params": tstate.params, "batch_stats": tstate.batch_stats},
+                jnp.zeros((tb, tt, 128, 128, 3), jnp.float32),
+            )
+            if fwd_flops:
+                flops = 3.0 * fwd_flops
+                results[f"{key}_gflops_3xfwd"] = round(flops / 1e9, 2)
+                results[f"{key}_tflops_per_s"] = round(flops / dt / 1e12, 1)
+                if peak:
+                    results[f"{key}_mfu"] = round(flops / dt / peak, 3)
+            print(f"[measure] {key}: "
+                  f"{ {k: v for k, v in results.items() if k.startswith(key)} }",
+                  file=sys.stderr, flush=True)
 
     print(json.dumps(results, indent=1))
 
