@@ -290,6 +290,27 @@ def main():
     except Exception as e:  # noqa: BLE001
         log(f"mpeg4 measurement skipped: {e}")
 
+    # Flagship-family (ResFormer, the capstone's deployed model) VOD e2e
+    # in the same headline configuration: the embed-once factorization
+    # serves ResNet-50+transformer at the same host-bound envelope.
+    resformer_fps = None
+    try:
+        log("measuring ResFormer-family VOD e2e (embed-once)...")
+        pipe_rf = BatchedActionPipeline(
+            family="resformer", num_actions=63, sequence_length=7,
+            frame_delta=3, dtype=dtype,
+        )
+        an_rf = VodAnalyzer(pipe_rf, window=384, padding=30, chunk=chunk,
+                            host_resize=True, lowres=lowres, stride=stride)
+        an_rf.ensure_variables()
+        an_rf.analyze(headline_path, boxes)  # warm (compile)
+        rs = [round(an_rf.analyze(headline_path, boxes)["fps"], 1)
+              for _ in range(2)]
+        resformer_fps = round(statistics.median(rs), 1)
+        log(f"resformer VOD fps: {resformer_fps:.1f}")
+    except Exception as e:  # noqa: BLE001
+        log(f"resformer measurement skipped: {e}")
+
     # Multi-VOD aggregate (the reference's scale story is 7 concurrent
     # VOD processes, multi_manuscript.sh): N jobs through analyze_many
     # sharing one device context.  Replaces the round-2 extrapolated
@@ -338,6 +359,8 @@ def main():
         "mpeg4_fps": mpeg4_fps,
         "mpeg4_stride1_fps": mpeg4_stride1_fps,
         "mpeg4_lowres": mpeg4_lowres,
+        # Flagship (ResFormer) family e2e under the same configuration.
+        "resformer_fps": resformer_fps,
         **multivod,
         "device_only_crops_per_sec": round(device_cps),
         "device_only_fps_2fighters": round(device_cps / 2),
