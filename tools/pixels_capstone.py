@@ -639,12 +639,24 @@ def phase_action(workdir, act_epochs, act_steps, act_batch):
     act_trainer.init_state()
     act_trainer.fit(num_epochs=act_epochs, steps_per_epoch=act_steps)
     accs = [round(r["train_acc"], 3) for r in act_trainer.metrics_log]
+    # Train-throughput record (BASELINE #5 perf evidence): median
+    # steps/s + crops/s over the run's epochs, on the real chip.
+    sps = sorted(r.get("steps_per_sec", 0) for r in act_trainer.metrics_log)
+    throughput = {
+        "steps_per_sec_median": sps[len(sps) // 2] if sps else 0,
+        "crops_per_sec_median": sorted(
+            r.get("crops_per_sec", 0) for r in act_trainer.metrics_log
+        )[len(sps) // 2] if sps else 0,
+        "grad_norm_last": act_trainer.metrics_log[-1].get("grad_norm_last"),
+    }
     print("action train acc:", accs[-10:])
+    print("action train throughput:", throughput)
     with open(os.path.join(workdir, "action_state.pkl"), "wb") as f:
         pickle.dump({
             "params": jax.device_get(act_trainer.state.params),
             "batch_stats": jax.device_get(act_trainer.state.batch_stats),
             "train_accs": accs,
+            "train_throughput": throughput,
         }, f)
     print("action model saved")
 
@@ -902,6 +914,7 @@ def phase_eval(workdir, det_steps, det_composites, act_epochs, act_steps,
         "crop_padding": os.environ.get("CROP_PAD", "0.125"),
         "synth_window": os.environ.get("SYNTH_WINDOW", "middleout"),
         "train_acc_last10": accs[-10:],
+        "train_throughput": act_payload.get("train_throughput"),
         "damage_acc": round(agg("damage_acc"), 4),
         "per_move_agreement": {m: round(float(np.mean(v)), 4)
                                for m, v in sorted(per_move_all.items())},
