@@ -129,3 +129,21 @@ def test_charts_deterministic(tmp_path):
     _, a = charts.move_damage_graph(fighters[0], stats, width=400, height=480)
     _, b = charts.move_damage_graph(fighters[0], stats, width=400, height=480)
     assert np.array_equal(a, b)
+
+
+def test_fastcharts_edge_cases():
+    """Array-native chart rasterizers: zero data, single bar, long label
+    sets all render without error and at the requested geometry."""
+    from playaid_core_tpu.render import fastcharts as fc
+
+    img = fc.success_vs_punished_image(("A",), (0,), (0,), "t", width=200, height=150)
+    assert img.shape == (150, 200, 4)
+    labels = tuple(f"Move{i}" for i in range(24))
+    img = fc.success_punished_missed_image(
+        labels, tuple(range(24)), (0,) * 24, (1,) * 24, "many", width=720,
+        height=400)
+    assert img.shape == (400, 720, 4)
+    img = fc.bar_graph_image(("OnlyOne",), (5,), width=120, height=100, title="x")
+    assert img.shape == (100, 120, 4)
+    pie = fc.move_pie_image(0, 0, 0, 60)
+    assert pie.shape == (60, 60, 4) and pie[:, :, 3].max() == 255
