@@ -81,13 +81,19 @@ def _force_sync(out):
 
 
 def timeit(fn, *args, iters=20):
+    """Best-of-2 timed loops: a tunnel stall mid-loop (observed: one
+    ~2.5 s hiccup turning a 3 ms stage into a 2500 ms reading) poisons a
+    single mean; the min of two loop means discards it."""
     out = fn(*args)
     _force_sync(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    _force_sync(out)
-    return (time.perf_counter() - t0) / iters
+    means = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        _force_sync(out)
+        means.append((time.perf_counter() - t0) / iters)
+    return min(means)
 
 
 def stage_stats(results, key, fn, *args, items=None, iters=20):
