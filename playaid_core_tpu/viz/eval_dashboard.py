@@ -56,6 +56,59 @@ def confusion_matrix_image(labels, preds, num_classes):
     return out
 
 
+def write_training_report(metrics_jsonl, out_path):
+    """Static HTML training-curves report from a Trainer metrics JSONL:
+    loss/accuracy curves plus the gradient-observability channel
+    (grad-norm / param-norm — the reference watched gradients through
+    wandb.watch, reference: action_detector.py:63-65) and the train
+    throughput (steps/s) the loop records per epoch."""
+    import json
+
+    records = []
+    with open(metrics_jsonl) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                records.append(json.loads(line))
+    if not records:
+        raise ValueError(f"no records in {metrics_jsonl}")
+    epochs = [r.get("epoch", i) for i, r in enumerate(records)]
+
+    panels = [
+        ("loss", ["train_loss", "val_loss"]),
+        ("accuracy", ["train_acc", "val_acc"]),
+        ("gradient/param norms", ["grad_norm", "param_norm"]),
+        ("throughput (steps/s)", ["steps_per_sec"]),
+    ]
+    parts = ["<html><head><title>Training report</title></head><body>",
+             f"<h1>Training report</h1><p>{html.escape(str(metrics_jsonl))} "
+             f"&mdash; {len(records)} epochs</p>"]
+    for title, keys in panels:
+        present = [k for k in keys if any(k in r for r in records)]
+        if not present:
+            continue
+        fig, ax = plt.subplots(figsize=(7, 3), dpi=100)
+        for k in present:
+            ys = [r.get(k) for r in records]
+            xs = [e for e, y in zip(epochs, ys) if y is not None]
+            ax.plot(xs, [y for y in ys if y is not None], label=k)
+        ax.set_title(title, fontsize=10)
+        ax.set_xlabel("epoch", fontsize=8)
+        ax.legend(fontsize=8)
+        ax.tick_params(labelsize=7)
+        fig.tight_layout()
+        fig.canvas.draw()
+        img = np.asarray(fig.canvas.buffer_rgba())[:, :, :3].copy()
+        plt.close(fig)
+        parts.append(f"<h2>{html.escape(title)}</h2>"
+                     f"<img src='data:image/png;base64,{_png_b64(img)}'>")
+    parts.append("</body></html>")
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    with open(out_path, "w") as f:
+        f.write("\n".join(parts))
+    return out_path
+
+
 def evaluate_samples(model_apply, dataset, total=16, center_supervised=True):
     """Run a model over dataset samples; returns per-sample records plus
     aggregates (the de-facto eval harness the reference ran in streamlit,

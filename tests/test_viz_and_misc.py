@@ -137,3 +137,24 @@ def test_profiler_trace(tmp_path):
     for root, dirs, files in os.walk(tmp_path / "trace"):
         found.extend(files)
     assert found
+
+
+def test_training_report(tmp_path):
+    """write_training_report renders loss/acc/grad-norm/throughput panels
+    from a Trainer metrics JSONL."""
+    import json
+
+    from playaid_core_tpu.viz.eval_dashboard import write_training_report
+
+    path = tmp_path / "metrics.jsonl"
+    with open(path, "w") as f:
+        for e in range(5):
+            f.write(json.dumps({
+                "epoch": e, "train_loss": 2.0 - 0.3 * e, "train_acc": 0.2 * e,
+                "grad_norm": 1.0 / (e + 1), "param_norm": 50.0 + e,
+                "steps_per_sec": 40 + e, "val_loss": 2.1 - 0.3 * e,
+            }) + "\n")
+    out = write_training_report(str(path), str(tmp_path / "report.html"))
+    content = open(out).read()
+    assert content.count("data:image/png;base64") == 4
+    assert "gradient/param norms" in content
