@@ -150,7 +150,9 @@ def _draw_stacked_bars(canvas, rect, series):
     """series: list of (values, color) stacked bottom-up; draws bars and
     the y-max gridline label.  Returns nothing (draws in place)."""
     x0, y0, pw, ph = rect
-    n = max(len(series[0][0]), 1)
+    n = len(series[0][0])
+    if n == 0:
+        return
     totals = np.zeros(n, np.float64)
     for values, _c in series:
         totals += np.asarray(values, np.float64)

@@ -581,3 +581,17 @@ def test_resolve_padding_fraction_matches_pixel_pad():
     # Junk (float >= 1 that is not integral) is rejected, not truncated.
     with pytest.raises(ValueError):
         resolve_padding(boxes, 1.5)
+
+
+def test_resolve_padding_numpy_scalar():
+    """np.float32/np.int64 paddings (env/config parses) resolve like
+    their Python equivalents instead of erroring (round-3 advice)."""
+    from playaid_core_tpu.infer.vod_pipeline import resolve_padding
+
+    boxes = np.array([[[0.5, 0.5, 0.1, 0.2]]], np.float32)
+    b1, p1 = resolve_padding(boxes, 0.125)
+    b2, p2 = resolve_padding(boxes, np.float32(0.125))
+    assert p1 == p2 == 0
+    np.testing.assert_allclose(b1, b2)
+    _, p3 = resolve_padding(boxes, np.int64(30))
+    assert p3 == 30
