@@ -716,11 +716,19 @@ def phase_action_finetune(workdir, ft_epochs, act_steps, act_batch, ft_lr):
     backup = os.path.join(workdir, "action_state_pre_ft.pkl")
     if not os.path.exists(backup):
         shutil.copyfile(path, backup)
+    sps = sorted(r.get("steps_per_sec", 0) for r in trainer.metrics_log)
     with open(path, "wb") as f:
         pickle.dump({
             "params": jax.device_get(trainer.state.params),
             "batch_stats": jax.device_get(trainer.state.batch_stats),
             "train_accs": accs_prev + accs,
+            "train_throughput": {
+                "steps_per_sec_median": sps[len(sps) // 2] if sps else 0,
+                "crops_per_sec_median": sorted(
+                    r.get("crops_per_sec", 0) for r in trainer.metrics_log
+                )[len(sps) // 2] if sps else 0,
+                "grad_norm_last": trainer.metrics_log[-1].get("grad_norm_last"),
+            },
         }, f)
     print("fine-tuned action model saved")
 
