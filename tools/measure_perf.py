@@ -164,8 +164,8 @@ def main():
                                       dtype=jnp.bfloat16)
     x = jnp.zeros((16, 7, 128, 128, 3), jnp.float32)
     mv = model.init(jax.random.PRNGKey(0), x)
-    stage_stats(results, "resformer_windows",
-                lambda v_, x_: model.apply(v_, x_), mv, x, items=16)
+    rf_apply = jax.jit(lambda v_, x_: model.apply(v_, x_))
+    stage_stats(results, "resformer_windows", rf_apply, mv, x, items=16)
 
     # Temporal-head classify over a long embedding sequence.
     pipe = BatchedActionPipeline(family="cnn", dtype=jnp.bfloat16)
