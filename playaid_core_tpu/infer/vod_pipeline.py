@@ -214,13 +214,15 @@ class NativeChunkDecoder:
     """Chunk-level decoder over the native (libavcodec) crop extractor.
 
     Same iterator contract as :class:`BoundedSegmentDecoder` with the
-    host-resize collate — yields ``(start, (n, crops[chunk, K, S, S, 3],
-    None))`` — but the whole decode+crop+letterbox+resize for a chunk is
+    host-resize collate — yields ``(start, (n, crops[chunk//stride, K,
+    S, S, 3], None))``, dense layout: sampled frame j in row j//stride —
+    but the whole decode+crop+letterbox+resize for a chunk is
     ONE C call that never converts full frames to BGR (see
     native/video_decoder.cpp).  ``lowres`` decodes at 1/2^n resolution on
     codecs that support it; ``stride`` extracts crops only every
     stride-th frame (frames in between are still decoded — codec
-    reference chains require it — but skip all conversion work).
+    reference chains require it — but skip all conversion work; with
+    stride-skip, unreferenced ones skip reconstruction too).
     """
 
     def __init__(self, path, num_frames, chunk, boxes, crop_size, padding,
