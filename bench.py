@@ -60,6 +60,119 @@ def fighter_boxes(num_frames, width=1920, height=1080, box_px=260):
     return boxes
 
 
+# Fixture GT: each fighter holds a move for this many video frames (two
+# 16-frame animation cycles at the deployed 48-video-frames-per-cycle
+# rate — reference temporal geometry, dataset_utils.py:94).
+SEGMENT_FRAMES = 96
+FIXTURE_FIGHTERS = ("Byleth", "Pikachu")
+FIXTURE_VARIANT = 17  # the capstone's HELD-OUT appearance variant
+
+
+def make_sprite_video(path, num_frames, width=1920, height=1080, fps=60,
+                      seed=7, sprite_px=250):
+    """Bench fixture with REAL content + known labels: two skeletal-sprite
+    fighters (held-out appearance variant) performing a deterministic
+    move schedule over the same noise background and trajectories as the
+    legacy circles fixture (same box sizes -> comparable decode cost).
+
+    Returns (boxes [F, 2, 4], gt_class_ids [F, 2]) — gt ids in the
+    63-class MOVE_TO_CLASS_ID space the headline pipeline labels in, so
+    the bench can assert the working system's label sanity in-run.
+    """
+    import cv2
+
+    from playaid_core_tpu.datagen import skeletal_sprites as sk
+    from playaid_core_tpu.ontology import MOVE_TO_CLASS_ID
+
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 60, (height, width, 3), dtype=np.uint8)
+    n_segments = (num_frames + SEGMENT_FRAMES - 1) // SEGMENT_FRAMES
+    schedule = [
+        [sk.MOVES[int(rng.integers(0, len(sk.MOVES)))] for _ in range(n_segments)]
+        for _ in FIXTURE_FIGHTERS
+    ]
+
+    # Pre-render each (fighter, move) cycle once at the fixture scale.
+    cache = {}
+
+    def sprite_for(k, move, phase_idx):
+        key = (k, move, phase_idx)
+        if key not in cache:
+            img = sk.render_sprite(
+                FIXTURE_FIGHTERS[k], move, phase_idx / 16.0, size=352,
+                facing=1 if k == 0 else -1, variant_seed=FIXTURE_VARIANT,
+            )
+            img = sk.tight_crop(img, min_size=1)
+            h, w = img.shape[:2]
+            scale = sprite_px / max(h, w)
+            cache[key] = cv2.resize(
+                img, (max(1, int(w * scale)), max(1, int(h * scale))),
+                interpolation=cv2.INTER_AREA,
+            )
+        return cache[key]
+
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                             (width, height))
+    boxes = np.zeros((num_frames, 2, 4), np.float32)
+    gt = np.zeros((num_frames, 2), np.int32)
+    box_px = 260
+    for i in range(num_frames):
+        frame = base.copy()
+        x_frac = 0.2 + 0.6 * (i / num_frames)
+        centers = (
+            (x_frac, 0.5),
+            (1.0 - x_frac, 0.5 + 60 / 1080),
+        )
+        for k in range(2):
+            move = schedule[k][i // SEGMENT_FRAMES]
+            # 16-frame cycle over 48 video frames (anim advances every 3rd
+            # video frame, the deployed frame_delta=3 geometry).
+            spr = sprite_for(k, move, (i // 3) % 16)
+            cx = int(centers[k][0] * width)
+            cy = int(centers[k][1] * height)
+            sh, sw = spr.shape[:2]
+            y0, x0 = cy - sh // 2, cx - sw // 2
+            vy0, vy1 = max(0, y0), min(height, y0 + sh)
+            vx0, vx1 = max(0, x0), min(width, x0 + sw)
+            if vy1 > vy0 and vx1 > vx0:
+                tile = spr[vy0 - y0 : vy1 - y0, vx0 - x0 : vx1 - x0]
+                alpha = tile[:, :, 3:4].astype(np.float32) / 255.0
+                roi = frame[vy0:vy1, vx0:vx1].astype(np.float32)
+                frame[vy0:vy1, vx0:vx1] = (
+                    tile[:, :, :3] * alpha + roi * (1.0 - alpha)
+                ).astype(np.uint8)
+            boxes[i, k] = (centers[k][0], centers[k][1],
+                           box_px / width, box_px / height)
+            gt[i, k] = MOVE_TO_CLASS_ID[move]
+        writer.write(frame)
+    writer.release()
+    np.savez(path + ".gt.npz", boxes=boxes, gt=gt)
+    return boxes, gt
+
+
+def load_bench_weights(pipe):
+    """Committed small trained weights for the headline pipeline (CNN
+    family, 63 classes — trained by tools/train_bench_weights.py on the
+    skeletal-sprite synth distribution).  Returns the split {embed, head}
+    variables, or None when the asset isn't present."""
+    import io
+
+    from playaid_core_tpu import constants  # noqa: F401  (package root)
+
+    asset = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "playaid_core_tpu", "assets", "bench_cnn63.npz",
+    )
+    if not os.path.exists(asset):
+        return None
+    from flax.traverse_util import unflatten_dict
+
+    with np.load(asset) as z:
+        flat = {tuple(k.split("/")): np.asarray(z[k], np.float32)
+                for k in z.files}
+    return unflatten_dict(flat)
+
+
 def measure_decode_only_fps(path, boxes, chunk, lowres, stride, fast,
                             crop_size=128, padding=30, runs=3):
     """Host decode ceiling for the EXACT headline configuration: the
@@ -159,10 +272,21 @@ def main():
     log(f"native decoder available: {native_decoder.available()}, "
         f"lowres: {lowres}, stride: {stride}")
 
-    video_path = os.path.join(tempfile.gettempdir(), f"bench_1080p_{num_frames}.mp4")
-    if not os.path.exists(video_path):
-        log("generating synthetic 1080p60 VOD...")
-        make_test_video(video_path, num_frames)
+    # Headline fixture: skeletal-sprite fighters with a KNOWN move
+    # schedule (held-out appearance variant) over the same noise
+    # background/trajectories/box sizes as the legacy circles fixture —
+    # so the run demonstrates the working system (labels checked against
+    # GT below when trained weights are present), at comparable decode
+    # cost.
+    video_path = os.path.join(tempfile.gettempdir(),
+                              f"bench_sprites_1080p_{num_frames}.mp4")
+    gt_path = video_path + ".gt.npz"
+    if not (os.path.exists(video_path) and os.path.exists(gt_path)):
+        log("generating synthetic 1080p60 sprite VOD (known GT)...")
+        make_sprite_video(video_path, num_frames)
+    with np.load(gt_path) as z:
+        gt_ids = z["gt"]
+        fixture_boxes = z["boxes"]
 
     # Real VODs are h264 (the reference ingests h264 via cv2,
     # manuscript.py:70), so the HEADLINE runs on an h264 fixture through
@@ -185,13 +309,20 @@ def main():
     headline_path = h264_path or video_path
     headline_codec = "h264" if h264_path else "mpeg4"
 
-    boxes = fighter_boxes(num_frames)
+    boxes = fixture_boxes
     dtype = jnp.bfloat16 if backend == "tpu" else jnp.float32
     pipe = BatchedActionPipeline(
         family="cnn", num_actions=63, sequence_length=7, frame_delta=3, dtype=dtype
     )
     analyzer = VodAnalyzer(pipe, window=384, padding=30, chunk=chunk, host_resize=True,
                            lowres=lowres, stride=stride)
+    trained = load_bench_weights(pipe)
+    if trained is not None:
+        analyzer.variables = trained
+        log("loaded trained bench weights (assets/bench_cnn63.npz)")
+    else:
+        log("no committed bench weights found; headline runs random-init "
+            "(labels unchecked)")
     analyzer.ensure_variables()
 
     # Device-only capability metric (the e2e number is host-decode-bound on
@@ -206,9 +337,47 @@ def main():
     warm = analyzer.analyze(headline_path, boxes)
     log(f"warm-up fps: {warm['fps']:.1f}")
 
+    # Label sanity against the fixture's known GT (the working system, not
+    # just its throughput): interior frames only — label-stride
+    # propagation and temporal-window context legitimately blur the
+    # ~segment boundaries.
+    label_agreement = None
+    if trained is not None:
+        margin = 12
+        pos = np.arange(num_frames) % SEGMENT_FRAMES
+        interior = (pos >= margin) & (pos < SEGMENT_FRAMES - margin)
+        agree = (warm["labels"][:num_frames] == gt_ids[:num_frames])
+        label_agreement = round(float(agree[interior].mean()), 4)
+        log(f"label agreement vs fixture GT (interior): {label_agreement:.4f}")
+        assert label_agreement >= 0.8, (
+            f"trained-weights label agreement {label_agreement} < 0.8 — "
+            "the headline pipeline is mislabeling its own fixture"
+        )
+
+    # Timed e2e runs INTERLEAVED with decode-only ceiling runs: ambient
+    # tunnel/host load moves absolute numbers ±15% over minutes, so the
+    # e2e/ceiling ratio is only meaningful when each pair is measured
+    # back-to-back under the same conditions.  The published ratio is the
+    # median of the per-pair ratios.
     log(f"running timed pipeline on {headline_codec} "
-        f"(median of {timed_runs})...")
-    results = [analyzer.analyze(headline_path, boxes) for _ in range(timed_runs)]
+        f"(median of {timed_runs}, interleaved with decode-only ceiling)...")
+    results = []
+    ceilings = []
+    ratios = []
+    eff_lowres = warm.get("lowres", 0)
+    eff_fast = warm.get("fast", 0)
+    for _ in range(timed_runs):
+        r = analyzer.analyze(headline_path, boxes)
+        results.append(r)
+        try:
+            c = measure_decode_only_fps(
+                headline_path, boxes, chunk, r.get("lowres", 0), stride,
+                True if r.get("fast", 0) else False, runs=1,
+            )
+            ceilings.append(c)
+            ratios.append(round(r["fps"] / c, 3))
+        except Exception as e:  # noqa: BLE001
+            log(f"decode-only pair skipped: {e}")
     run_fps = sorted(round(r["fps"], 1) for r in results)
     fps = round(statistics.median(run_fps), 1)
     # Effective decode modes after "auto" resolution / codec clamp.
@@ -217,22 +386,14 @@ def main():
     log(f"frames: {results[0]['frames']}, fps median: {fps:.1f}, "
         f"realtime-x: {fps / 60:.2f} (runs: {run_fps}, "
         f"effective lowres: {eff_lowres}, fast: {eff_fast})")
-
-    # Host decode ceiling for this exact configuration (the e2e bound on
-    # a 1-core host) + how much of it the pipeline claims.
-    log("measuring decode-only ceiling (same codec/fast/lowres/stride)...")
     decode_only_fps = None
     e2e_over_ceiling = None
-    try:
-        decode_only_fps = measure_decode_only_fps(
-            headline_path, boxes, chunk, eff_lowres, stride,
-            True if eff_fast else False,
-        )
-        e2e_over_ceiling = round(fps / decode_only_fps, 3)
+    if ceilings:
+        decode_only_fps = round(statistics.median(ceilings), 1)
+        e2e_over_ceiling = round(statistics.median(ratios), 3)
         log(f"decode-only ceiling: {decode_only_fps:.1f} fps "
-            f"(e2e/ceiling: {e2e_over_ceiling:.3f})")
-    except Exception as e:  # noqa: BLE001
-        log(f"decode-only measurement skipped: {e}")
+            f"(paired e2e/ceiling ratios: {ratios}, median: "
+            f"{e2e_over_ceiling:.3f})")
 
     def median_fps(an, path, bxs, runs=2):
         an.variables = analyzer.variables  # share weights + compiled embeds
@@ -362,6 +523,10 @@ def main():
         # Flagship (ResFormer) family e2e under the same configuration.
         "resformer_fps": resformer_fps,
         **multivod,
+        # Working-system evidence: trained weights + fixture-GT agreement
+        # (interior frames; None = no committed weights, random init).
+        "weights": "trained" if trained is not None else "random",
+        "label_agreement_interior": label_agreement,
         "device_only_crops_per_sec": round(device_cps),
         "device_only_fps_2fighters": round(device_cps / 2),
         "decode_backend": "native" if native_decoder.available() else "cv2",

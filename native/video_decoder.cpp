@@ -54,6 +54,7 @@ struct Decoder {
   size_t scratch_cap = 0;
   int stream_index = -1;
   int lowres = 0;
+  int max_lowres = 0;  // codec capability (0 for h264, 3 for mpeg4)
   int fast = 0;
   // Full-resolution (container) dims; crop geometry is computed in these
   // coordinates so lowres decode yields the same boxes.
@@ -177,6 +178,7 @@ void* vd_open_ex(const char* path, int lowres, int fast) {
     d->full_h = d->codec->height;
     d->codec->thread_count = 1;  // caller parallelizes across segments
     // Fractional decode where the codec supports it (mpeg4: max_lowres 3).
+    d->max_lowres = (int)dec->max_lowres;
     d->lowres = std::min(lowres, (int)dec->max_lowres);
     if (d->lowres > 0) d->codec->lowres = d->lowres;
     if (d->fast == 2)  // auto: fast only where an in-loop deblock exists
@@ -216,6 +218,11 @@ void* vd_open(const char* path, int lowres) {
 int vd_full_width(void* h) { return ((Decoder*)h)->full_w; }
 int vd_full_height(void* h) { return ((Decoder*)h)->full_h; }
 int vd_lowres(void* h) { return ((Decoder*)h)->lowres; }
+// Codec lowres capability: the clamp auto-lowres must respect.  Lets a
+// lowres=0 probe open answer "could this stream decode fractionally?"
+// without a second, lowres=3 open (whose handle would then be useless
+// for the common full-res run — see native_decoder.probe/acquire).
+int vd_max_lowres(void* h) { return ((Decoder*)h)->max_lowres; }
 // Effective fast mode after "auto" (2) resolution: 1 if the fast flags
 // were applied to this stream's codec, else 0.
 int vd_fast(void* h) { return ((Decoder*)h)->fast; }

@@ -80,8 +80,17 @@ void* ve_open(const char* path, int w, int h, double fps,
     e->codec->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
   if (preset && *preset)
     av_opt_set(e->codec->priv_data, "preset", preset, 0);
-  if (crf >= 0)
-    av_opt_set_int(e->codec->priv_data, "crf", crf, 0);
+  if (crf >= 0) {
+    if (av_opt_set_int(e->codec->priv_data, "crf", crf, 0) < 0) {
+      // Codecs without a crf option (mpeg4/mp4v — the reference's own
+      // output codec, reference: annotator.py:72): interpret the value
+      // as a constant quantizer instead (1 = best, 31 = worst), so the
+      // one quality knob works across codecs.
+      int q = crf < 1 ? 1 : (crf > 31 ? 31 : crf);
+      e->codec->flags |= AV_CODEC_FLAG_QSCALE;
+      e->codec->global_quality = FF_QP2LAMBDA * q;
+    }
+  }
   if (avcodec_open2(e->codec, enc, nullptr) < 0) goto fail;
   if (avcodec_parameters_from_context(e->stream->codecpar, e->codec) < 0)
     goto fail;
@@ -129,6 +138,8 @@ int ve_write_fmt(void* h_, const unsigned char* data, int fmt) {
   sws_scale(e->sws, src, src_stride, 0, e->h, e->frame->data,
             e->frame->linesize);
   e->frame->pts = e->next_pts++;
+  if (e->codec->flags & AV_CODEC_FLAG_QSCALE)
+    e->frame->quality = e->codec->global_quality;
   int ret = avcodec_send_frame(e->codec, e->frame);
   if (ret < 0) return ret;
   return flush_packets(e);

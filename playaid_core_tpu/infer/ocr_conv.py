@@ -43,20 +43,48 @@ def train_fonts():
     """Training pool: DejaVu + STIX faces only (two foundries).  Every
     Computer Modern face in the image is excluded so heldout_fonts() can
     test a genuinely foreign foundry (round-2 verdict: the old held-out
-    pool was DejaVu serif cousins of the training family)."""
+    pool was DejaVu serif cousins of the training family).  Faces
+    ADJACENT to the held-out style extremes (DejaVuSerif italics/bolds)
+    are also excluded so that axis stays meaningfully held out.  Round 5
+    widened the pool with every remaining digit-bearing DejaVu/STIX
+    face (mono obliques, STIX italic/non-unicode families): foundry
+    generalization is bounded by within-family style DIVERSITY, and the
+    extra italic/slab styles carry shapes the base 10 faces don't."""
     d = _mpl_ttf_dir()
-    return [
-        os.path.join(d, "DejaVuSans.ttf"),
-        os.path.join(d, "DejaVuSans-Bold.ttf"),
-        os.path.join(d, "DejaVuSans-Oblique.ttf"),
-        os.path.join(d, "DejaVuSansDisplay.ttf"),
-        os.path.join(d, "DejaVuSansMono.ttf"),
-        os.path.join(d, "DejaVuSansMono-Bold.ttf"),
-        os.path.join(d, "DejaVuSerif.ttf"),
-        os.path.join(d, "STIXGeneral.ttf"),
-        os.path.join(d, "STIXGeneralBol.ttf"),
-        os.path.join(d, "STIXGeneralItalic.ttf"),
+    candidates = [
+        "DejaVuSans.ttf",
+        "DejaVuSans-Bold.ttf",
+        "DejaVuSans-Oblique.ttf",
+        "DejaVuSansDisplay.ttf",
+        "DejaVuSansMono.ttf",
+        "DejaVuSansMono-Bold.ttf",
+        "DejaVuSansMono-Oblique.ttf",
+        "DejaVuSansMono-BoldOblique.ttf",
+        "DejaVuSerif.ttf",
+        "STIXGeneral.ttf",
+        "STIXGeneralBol.ttf",
+        "STIXGeneralItalic.ttf",
+        "STIXGeneralBolIta.ttf",
+        "STIXNonUni.ttf",
+        "STIXNonUniBol.ttf",
+        "STIXNonUniIta.ttf",
+        "STIXNonUniBolIta.ttf",
     ]
+    return [p for p in (os.path.join(d, c) for c in candidates)
+            if os.path.exists(p) and _has_digits(p)]
+
+
+def _has_digits(font_path):
+    """Some faces ship no digit glyphs (DejaVuSerifDisplay); rendering
+    'digits' from them yields empty boxes — exclude them anywhere."""
+    try:
+        from PIL import ImageFont
+
+        f = ImageFont.truetype(font_path, 32)
+        box = f.getbbox("5")
+        return box is not None and box[3] > box[1]
+    except Exception:
+        return False
 
 
 def heldout_fonts():
@@ -181,14 +209,21 @@ def synth_batch(rng, fonts, batch=128, threshold=128):
         import cv2 as _cv2
 
         r = rng.random()
-        if r < 0.35:
-            shear = float(rng.uniform(-0.28, 0.28))
+        if r < 0.4:
+            shear = float(rng.uniform(-0.35, 0.35))
             h_, w_ = crop.shape[:2]
             m = np.float32([[1, shear, -shear * h_ / 2], [0, 1, 0]])
             crop = _cv2.warpAffine(crop, m, (w_, h_))
+        if rng.random() < 0.4:
+            # aspect squeeze: digit width/height ratio varies more across
+            # foundries (condensed vs wide faces) than any one family shows
+            h_, w_ = crop.shape[:2]
+            sx = float(rng.uniform(0.75, 1.2))
+            crop = _cv2.resize(crop, (max(8, int(w_ * sx)), h_),
+                               interpolation=_cv2.INTER_AREA)
         r = rng.random()
-        if r < 0.25:
-            k = np.ones((2, 2), np.uint8)
+        if r < 0.35:
+            k = np.ones((int(rng.integers(2, 4)),) * 2, np.uint8)
             crop = (_cv2.dilate(crop, k) if rng.random() < 0.5
                     else _cv2.erode(crop, k))
         if rng.random() < 0.2:
@@ -229,7 +264,10 @@ def train(steps=400, batch=128, lr=2e-3, seed=0, fonts=None, log_every=50):
     model = _make_model()
     rng = np.random.default_rng(seed)
     params = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, PATCH, PATCH, 1)))
-    tx = optax.adam(lr)
+    # Cosine decay to 5%: the widened style/augmentation space (round 5)
+    # needs the longer schedule to settle; constant lr plateaued ~95%
+    # held-out-foundry.
+    tx = optax.adam(optax.cosine_decay_schedule(lr, steps, alpha=0.05))
     opt_state = tx.init(params)
 
     @jax.jit
@@ -331,7 +369,7 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    params, history = train(steps=int(os.environ.get("OCR_STEPS", "400")))
+    params, history = train(steps=int(os.environ.get("OCR_STEPS", "1200")))
     save_params(params)
     print(f"saved {WEIGHTS_PATH}")
 

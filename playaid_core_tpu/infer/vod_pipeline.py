@@ -223,11 +223,20 @@ class NativeChunkDecoder:
     stride-th frame (frames in between are still decoded — codec
     reference chains require it — but skip all conversion work; with
     stride-skip, unreferenced ones skip reconstruction too).
+
+    ``sink`` mode: pass ``sink=fn`` and the workers call
+    ``fn(chunk_idx, start, n, crops)`` inline instead of buffering
+    ordered results for an iterating consumer; await completion with
+    :meth:`wait`.  For consumers whose per-chunk work is a handful of
+    async dispatches (the VOD pipeline: device_put + embed + scatter,
+    ~30 us of CPU), this removes the whole queue/condition-variable
+    handoff machinery — on a 1-core host those cross-thread wakeups
+    were stealing ~0.2 ms/frame from the decode thread.
     """
 
     def __init__(self, path, num_frames, chunk, boxes, crop_size, padding,
                  workers=None, ahead=6, lowres=0, stride=1, fmt="bgr",
-                 fast=False):
+                 fast=False, sink=None):
         self.path = path
         self.num_frames = num_frames
         self.chunk = chunk
@@ -238,6 +247,7 @@ class NativeChunkDecoder:
         self.stride = stride
         self.fmt = fmt
         self.fast = fast
+        self.sink = sink
         self.num_chunks = (num_frames + chunk - 1) // chunk
         workers = workers or max(1, min((os.cpu_count() or 1), 6))
         self.workers_n = min(workers, self.num_chunks)
@@ -247,6 +257,7 @@ class NativeChunkDecoder:
         self._closed = False
         self._cond = threading.Condition()
         self._next_emit = 0
+        self._done = 0
         self._task_q = queue.Queue()
         for t in range(self.num_chunks):
             self._task_q.put(t)
@@ -260,6 +271,18 @@ class NativeChunkDecoder:
 
     close = BoundedSegmentDecoder.close
 
+    def wait(self, timeout=None):
+        """Sink mode: block until every chunk has been decoded and passed
+        through the sink (or an error/close occurred).  Re-raises worker
+        exceptions — including those the sink itself threw."""
+        with self._cond:
+            while (self._done < self.num_chunks and self._error is None
+                   and not self._closed):
+                if not self._cond.wait(timeout=timeout):
+                    raise TimeoutError("decode did not finish in time")
+            if self._error is not None:
+                raise self._error
+
     def _worker(self):
         try:
             self._worker_loop()
@@ -269,9 +292,14 @@ class NativeChunkDecoder:
                 self._cond.notify_all()
 
     def _worker_loop(self):
-        from playaid_core_tpu.video.native_decoder import NativeVideoDecoder
+        from playaid_core_tpu.video import native_decoder
 
-        dec = NativeVideoDecoder(self.path, lowres=self.lowres, fast=self.fast)
+        # Pooled acquire: reuses the analyzer's probe handle (or a prior
+        # run's decoder) instead of re-opening the container — an h264
+        # open costs ~45 ms of stream probing on a 1-core host, ~45
+        # frames of decode budget.
+        dec = native_decoder.acquire(self.path, lowres=self.lowres,
+                                     fast=self.fast)
         k = self.boxes.shape[1]
         try:
             while True:
@@ -279,12 +307,17 @@ class NativeChunkDecoder:
                     chunk_idx = self._task_q.get_nowait()
                 except queue.Empty:
                     return
-                with self._cond:
-                    while (chunk_idx > self._next_emit + self._ahead
-                           and not self._closed):
-                        self._cond.wait()
-                    if self._closed:
-                        return
+                if self.sink is None:
+                    # Backpressure only matters when an iterating consumer
+                    # can fall behind; a sink consumes inline.
+                    with self._cond:
+                        while (chunk_idx > self._next_emit + self._ahead
+                               and not self._closed):
+                            self._cond.wait()
+                        if self._closed:
+                            return
+                elif self._closed:
+                    return
                 start = chunk_idx * self.chunk
                 stop = min(start + self.chunk, self.num_frames)
                 # Fixed-shape output (zero-padded tail chunk): every chunk
@@ -292,18 +325,25 @@ class NativeChunkDecoder:
                 chunk_boxes = np.zeros((self.chunk, k, 4), np.float32)
                 chunk_boxes[: stop - start] = self.boxes[start:stop]
                 # dense=True packs extracted frames contiguously in the
-                # output ([chunk//stride, K, ...]), so the staging thread
-                # ships the buffer without a strided host-side gather.
+                # output ([chunk//stride, K, ...]), so the consumer ships
+                # the buffer without a strided host-side gather.
                 n, crops = dec.decode_crops(
                     start, chunk_boxes, self.crop_size, self.padding,
                     stride=self.stride, fmt=self.fmt, dense=True,
                 )
                 n = min(n, stop - start)
-                with self._cond:
-                    self._results[chunk_idx] = (start, (n, crops, None))
-                    self._cond.notify_all()
+                if self.sink is not None:
+                    self.sink(chunk_idx, start, n, crops)
+                    with self._cond:
+                        self._done += 1
+                        if self._done >= self.num_chunks:
+                            self._cond.notify_all()
+                else:
+                    with self._cond:
+                        self._results[chunk_idx] = (start, (n, crops, None))
+                        self._cond.notify_all()
         finally:
-            dec.close()
+            native_decoder.release(dec)
 
     def __iter__(self):
         for idx in range(self.num_chunks):
@@ -518,24 +558,20 @@ class VodAnalyzer:
         eff_fast = 1 if self.fast_decode is True else 0
         if use_native and (self.lowres == "auto" or lowres > 0
                            or self.fast_decode == "auto"):
-            from playaid_core_tpu.video.native_decoder import NativeVideoDecoder
-
-            # One cheap probe open resolves the video dims, the codec's
-            # lowres clamp (h264 has no fractional lowres) and the
-            # effective fast mode ("auto" fast applies only to codecs with
-            # an in-loop deblock); lowres "auto" then picks the largest
-            # label-safe factor from the measured box sizes.
-            with NativeVideoDecoder(video_path, lowres=3,
-                                    fast=self.fast_decode) as probe:
-                codec_max = probe.lowres
-                eff_fast = probe.fast
-                if self.lowres == "auto":
-                    lowres = auto_lowres(
-                        boxes[:f_total], probe.width, probe.height,
-                        crop_size, padding, max_lowres=codec_max,
-                    )
-                elif self.lowres:
-                    lowres = min(self.lowres, codec_max)
+            # Cached stream probe (dims, the codec's lowres capability,
+            # the effective fast mode for "auto").  The probe's handle
+            # parks in the decoder pool, so the decode worker below
+            # reuses it instead of re-opening the container; repeat
+            # analyses of the same VOD skip the probe entirely.
+            info = native_decoder.probe(video_path, fast=self.fast_decode)
+            eff_fast = info["fast"]
+            if self.lowres == "auto":
+                lowres = auto_lowres(
+                    boxes[:f_total], info["width"], info["height"],
+                    crop_size, padding, max_lowres=info["max_lowres"],
+                )
+            elif self.lowres:
+                lowres = min(self.lowres, info["max_lowres"])
 
         if self.host_resize:
             def transform(i, frame):
@@ -597,30 +633,20 @@ class VodAnalyzer:
 
         t0 = time.time()
         decoded = 0
-        if use_native:
-            decoder = NativeChunkDecoder(
-                video_path, f_total, self.chunk, boxes, crop_size, padding,
-                workers=self.decode_workers, lowres=lowres, stride=stride,
-                fmt=fmt, fast=self.fast_decode,
-            )
-        else:
-            decoder = BoundedSegmentDecoder(
-                video_path, f_total, self.chunk, transform,
-                workers=self.decode_workers, collate=collate,
-            )
         import contextlib
 
         mesh_ctx = self.mesh if self.mesh is not None else contextlib.nullcontext()
         # With stride, only every stride-th frame's crops are embedded and
         # classified; the buffer is indexed by sampled position.
         samples_per_chunk = chunk // stride
+        num_chunks = (f_total + chunk - 1) // chunk
         with mesh_ctx:
             # Chunk embeddings accumulate into one preallocated (bucketed)
             # device buffer via a single reusable scatter program, so
             # program count and argument size stay constant regardless of
             # VOD length (a chunk-tuple epilogue would grow with the video).
             buf = self.pipeline.make_embedding_buffer(
-                decoder.num_chunks * samples_per_chunk
+                num_chunks * samples_per_chunk
             )
             if replicated_sharding is not None:
                 buf = jax.device_put(buf, replicated_sharding)
@@ -628,7 +654,127 @@ class VodAnalyzer:
             # the count of frames read: a short mid-stream chunk must not
             # truncate later frames' labels.
             extent = 0
-            if self.host_resize:
+            if use_native:
+                # Dispatcher-thread design.  The decode side only hands
+                # chunks over a bounded queue (micro-seconds); ONE
+                # dispatcher thread runs the whole device interaction per
+                # chunk: explicit device_put, then embed + scatter
+                # dispatched on the already-transferring handle.
+                # Measured on a 1-core host with controlled interference
+                # pumps + in-pipeline cadence stamps:
+                #   * raw host->device transfers cost the decode thread
+                #     ~nothing, and put-then-dispatch keeps it that way;
+                #   * dispatching a jit directly on a NUMPY chunk
+                #     serializes the argument inline in the dispatch path
+                #     (~0.25 ms/frame of decode budget);
+                #   * running the device calls inline in the decode loop
+                #     stalls it on transfer flow control;
+                #   * and a decode WORKER THREAD costs ~15% by itself
+                #     when there is only one (GIL ping-pong with the
+                #     consumer + condition-variable handoffs), so with
+                #     one effective worker the chunk loop runs INLINE on
+                #     this thread and only the dispatcher is a thread.
+                # The bounded queue is the backpressure for multi-core
+                # hosts whose aggregate decode outruns the link.
+                embed = (
+                    self.pipeline.embed_crops_yuv if fmt == "yuv420"
+                    else self.pipeline.embed_crops_u8
+                )
+                state = {"buf": buf, "decoded": 0, "extent": 0}
+                work_q = queue.Queue(maxsize=8)
+                sink_stop = threading.Event()
+
+                def sink(chunk_idx, start, n, crops):
+                    while not sink_stop.is_set():
+                        try:
+                            work_q.put((start, n, crops), timeout=0.25)
+                            return
+                        except queue.Full:
+                            continue
+
+                def dispatcher():
+                    while True:
+                        item = work_q.get()
+                        if item is None:
+                            return
+                        if state.get("error") is not None:
+                            continue  # keep draining so producers unblock
+                        start, n, crops = item
+                        if n == 0:
+                            continue
+                        try:
+                            flat = crops.reshape(
+                                (samples_per_chunk * 2,) + crops.shape[2:]
+                            )
+                            emb = embed(self.variables, to_device(flat))
+                            state["buf"] = scatter_fn(
+                                state["buf"], emb, (start // stride) * 2
+                            )
+                            state["decoded"] += n
+                            state["extent"] = max(
+                                state["extent"],
+                                (start + n + stride - 1) // stride,
+                            )
+                        except BaseException as e:  # surface after join
+                            state["error"] = e
+
+                disp_thread = threading.Thread(target=dispatcher, daemon=True)
+                disp_thread.start()
+                workers_eff = self.decode_workers or max(
+                    1, min((os.cpu_count() or 1), 6)
+                )
+                try:
+                    if workers_eff == 1:
+                        # Inline chunk loop (the 1-core/1-worker fast
+                        # path): decode on THIS thread, pooled handle.
+                        from playaid_core_tpu.video import native_decoder
+
+                        dec = native_decoder.acquire(
+                            video_path, lowres=lowres, fast=self.fast_decode
+                        )
+                        try:
+                            for c0 in range(0, f_total, chunk):
+                                stop = min(c0 + chunk, f_total)
+                                cb = np.zeros((chunk, boxes.shape[1], 4),
+                                              np.float32)
+                                cb[: stop - c0] = boxes[c0:stop]
+                                n, crops = dec.decode_crops(
+                                    c0, cb, crop_size, padding,
+                                    stride=stride, fmt=fmt, dense=True,
+                                )
+                                sink(0, c0, min(n, stop - c0), crops)
+                        finally:
+                            native_decoder.release(dec)
+                    else:
+                        decoder = NativeChunkDecoder(
+                            video_path, f_total, self.chunk, boxes,
+                            crop_size, padding, workers=self.decode_workers,
+                            lowres=lowres, stride=stride, fmt=fmt,
+                            fast=self.fast_decode, sink=sink,
+                        )
+                        try:
+                            decoder.wait()
+                        finally:
+                            sink_stop.set()
+                            decoder.close()
+                finally:
+                    # Stop order matters on error paths: producers might
+                    # be blocked in sink's put (full queue) — sink_stop
+                    # drains them out, then the sentinel ends the
+                    # dispatcher after the real items.
+                    sink_stop.set()
+                    work_q.put(None)
+                    disp_thread.join(timeout=30.0)
+                if state.get("error") is not None:
+                    raise state["error"]
+                buf = state["buf"]
+                decoded = state["decoded"]
+                extent = state["extent"]
+            elif self.host_resize:
+                decoder = BoundedSegmentDecoder(
+                    video_path, f_total, self.chunk, transform,
+                    workers=self.decode_workers, collate=collate,
+                )
                 # Dedicated transfer thread: device_put through a tunneled
                 # device is mostly network WAIT, but issued from the main
                 # thread it serializes with dispatch; staging it lets
@@ -694,6 +840,10 @@ class VodAnalyzer:
                     decoder.close()
                     stage_thread.join(timeout=10.0)
             else:
+                decoder = BoundedSegmentDecoder(
+                    video_path, f_total, self.chunk, transform,
+                    workers=self.decode_workers, collate=collate,
+                )
                 try:
                     for start, (n, wins, origins) in decoder:
                         if n == 0:

@@ -30,18 +30,28 @@ from playaid_core_tpu.video.writer import VideoWriter
 
 
 def split_text(text, chunk_size=90):
-    words = text.split()
-    chunks = []
-    chunk = ""
-    for word in words:
-        if len(chunk) + len(word) <= chunk_size:
-            chunk += " " + word if chunk else word
+    """Greedy word-wrap into lines of at most ~chunk_size characters.
+
+    Wrap points match the reference renderer exactly (reference:
+    annotator.py:25-42) so narration text breaks onto the same lines,
+    including two quirks of its accounting: the joining space is not
+    counted against the budget, and a first word longer than the budget
+    yields a leading empty line.
+    """
+    lines = []
+    current = []
+    used = 0  # length of " ".join(current)
+    for word in text.split():
+        if used + len(word) > chunk_size:
+            lines.append(" ".join(current))
+            current = [word]
+            used = len(word)
         else:
-            chunks.append(chunk)
-            chunk = word
-    if chunk:
-        chunks.append(chunk)
-    return chunks
+            current.append(word)
+            used += len(word) + (0 if len(current) == 1 else 1)
+    if current:
+        lines.append(" ".join(current))
+    return lines
 
 
 class Annotator:

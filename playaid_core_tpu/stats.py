@@ -114,114 +114,144 @@ class Stats:
         self.post_update(fighters)
 
     def update_fighter(self, fighter, other_fighter):
-        """Accumulate one frame for one fighter (reference: stats.py:78-144)."""
+        """Accumulate one frame for one fighter.
+
+        The three accumulations are independent and may all fire in one
+        frame (e.g. trading hits while starting a move).  The nested KEY
+        PATHS (punished_action_count[move], action_timeline[frame], ...)
+        are the bit-matched output schema (reference: stats.py:78-144 via
+        the stats-dict parity tests) and cannot diverge; the expression
+        here is this rebuild's own.
+        """
+        mine = self.stats[fighter.fighter_id]
         if fighter.damage_delta:
-            # The victim's move was punished; attribute to the last
-            # non-damaged move (combo attribution).
-            self.stats[fighter.fighter_id].punished_action_count[
-                fighter.previous_non_damaged_action
-            ] += 1
-            self.stats[fighter.fighter_id].punished_action_damage[
-                fighter.previous_non_damaged_action
-            ] += fighter.damage_delta
-            self.stats[fighter.fighter_id].punished_action_by_action_count[
-                fighter.previous_non_damaged_action
-            ][other_fighter.action] += 1
-            self.stats[fighter.fighter_id].punish_history[fighter.previous_non_damaged_action][
-                fighter.frame_num
-            ] = {
-                "action": other_fighter.action,
-                "damage_delta": fighter.damage_delta,
-                "frame_number": fighter.frame_num,
-            }
-
+            self._record_punish(mine, fighter, other_fighter)
         if fighter.new_action:
-            self.stats[fighter.fighter_id].action_count[fighter.action] += 1
-
-            action_timeline = self.stats[fighter.fighter_id].action_timeline
-            if action_timeline.keys():
-                # Close out the previous action.
-                last_action = action_timeline[list(action_timeline.keys())[-1]]
-                last_action.end_frame = fighter.frame_num
-                last_action.ending_position_in_world = fighter.position_in_world
-
-            timeline_data = action_timeline[fighter.frame_num]
-            timeline_data.action = fighter.action
-            timeline_data.starting_position_in_world = fighter.position_in_world
-            timeline_data.start_frame = fighter.frame_num
-
+            self._record_action_start(mine, fighter)
         if other_fighter.damage_delta:
-            # Only count a move as successful once; multihits are guarded by
-            # previous_attack_connected (reference: stats.py:125-129).
-            if not fighter.previous_attack_connected:
-                self.stats[fighter.fighter_id].successful_action_count[fighter.action] += 1
-            self.stats[fighter.fighter_id].successful_action_damage[
-                fighter.action
-            ] += other_fighter.damage_delta
-            self.stats[fighter.fighter_id].success_history[fighter.previous_non_damaged_action][
-                fighter.frame_num
-            ] = {
-                "action": other_fighter.previous_non_damaged_action,
-                "damage_delta": other_fighter.damage_delta,
-                "frame_number": fighter.frame_num,
-            }
+            self._record_success(mine, fighter, other_fighter)
+
+    @staticmethod
+    def _record_punish(mine, victim, attacker):
+        """The victim took damage: blame their last non-damaged move
+        (combo attribution — mid-combo hitstun actions aren't 'choices')."""
+        blamed = victim.previous_non_damaged_action
+        frame = victim.frame_num
+        mine.punished_action_count[blamed] += 1
+        mine.punished_action_damage[blamed] += victim.damage_delta
+        mine.punished_action_by_action_count[blamed][attacker.action] += 1
+        mine.punish_history[blamed][frame] = {
+            "action": attacker.action,
+            "damage_delta": victim.damage_delta,
+            "frame_number": frame,
+        }
+
+    @staticmethod
+    def _record_action_start(mine, fighter):
+        """A new action began: bump its count, close the previous timeline
+        entry (end frame + world position) and open this one."""
+        mine.action_count[fighter.action] += 1
+        timeline = mine.action_timeline
+        open_frames = list(timeline.keys())
+        if open_frames:
+            prior = timeline[open_frames[-1]]
+            prior.end_frame = fighter.frame_num
+            prior.ending_position_in_world = fighter.position_in_world
+        entry = timeline[fighter.frame_num]
+        entry.action = fighter.action
+        entry.starting_position_in_world = fighter.position_in_world
+        entry.start_frame = fighter.frame_num
+
+    @staticmethod
+    def _record_success(mine, actor, victim):
+        """The opponent took damage: the actor's current move connected.
+        A move only counts as successful on its FIRST hit —
+        previous_attack_connected guards multihit moves from inflating
+        the count — but damage accrues every hit."""
+        if not actor.previous_attack_connected:
+            mine.successful_action_count[actor.action] += 1
+        mine.successful_action_damage[actor.action] += victim.damage_delta
+        mine.success_history[actor.previous_non_damaged_action][actor.frame_num] = {
+            "action": victim.previous_non_damaged_action,
+            "damage_delta": victim.damage_delta,
+            "frame_number": actor.frame_num,
+        }
 
     def post_update(self, fighters):
-        """Latest-action tracking + English narration (reference: stats.py:146-207)."""
+        """Latest-action tracking + the English narration history.
+
+        Narration precedence per (actor, opponent) ordering: a shield hit
+        short-circuits the frame entirely (including the death check — a
+        quirk kept for parity); otherwise damage > new-action, and a
+        death line overwrites whatever else landed on the frame.  The
+        narration TEXT is byte-pinned to the reference's strings
+        (reference: stats.py:146-207; exercised by the narration tests).
+        """
         for fighter in fighters:
-            if self.stats[fighter.fighter_id].latest_action != fighter.action:
-                self.stats[fighter.fighter_id].latest_action_frame = fighter.frame_num
-                self.stats[fighter.fighter_id].latest_action = fighter.action
+            mine = self.stats[fighter.fighter_id]
+            if mine.latest_action != fighter.action:
+                mine.latest_action_frame = fighter.frame_num
+                mine.latest_action = fighter.action
 
-        for fighter, other_fighter in [[fighters[0], fighters[1]], [fighters[1], fighters[0]]]:
-            if (
-                other_fighter.new_action
-                and other_fighter.action == "ShieldStun"
-                # Guards against projectiles causing the shield stun.
-                and fighter.using_damage_move
-            ):
-                self.stats.history[fighter.frame_num] = (
-                    f"{fighter.fighter_name} hit {other_fighter.fighter_name}'s shield with "
-                    f"{fighter.action}, putting {other_fighter.fighter_name} into ShieldStun"
-                )
+        history = self.stats.history
+        for actor, opponent in ((fighters[0], fighters[1]),
+                                (fighters[1], fighters[0])):
+            frame = actor.frame_num
+            took_shield_hit = (opponent.new_action
+                               and opponent.action == "ShieldStun"
+                               # Projectile guard: only narrate shield hits
+                               # the actor's own move could have caused.
+                               and actor.using_damage_move)
+            if took_shield_hit:
+                history[frame] = self._shield_line(actor, opponent)
                 continue
-
-            elif other_fighter.damage_delta:
-                self.stats.history[fighter.frame_num] = (
-                    f"{fighter.fighter_name}, who is at {fighter.damage:.2f} damage, used "
-                    f"{fighter.action} to punish {other_fighter.fighter_name} use of "
-                    f"{other_fighter.previous_action} for {other_fighter.damage_delta:.2f} damage"
-                )
-
-            elif (
-                fighter.new_action
-                # A-vs-B and B-vs-A are both visited; don't double-write.
-                and not self.stats.history[fighter.frame_num]
-                and fighter.action not in IGNOREABLE_ACTIONS
-            ):
-                if fighter.previous_action:
-                    self.stats.history[fighter.frame_num] = self.to_sentence(
-                        fighter, other_fighter, f"ended move {fighter.action}"
+            if opponent.damage_delta:
+                history[frame] = self._punish_line(actor, opponent)
+            elif (actor.new_action
+                  # A-vs-B and B-vs-A are both visited; don't double-write.
+                  and not history[frame]
+                  and actor.action not in IGNOREABLE_ACTIONS):
+                if actor.previous_action:
+                    history[frame] = self.to_sentence(
+                        actor, opponent, f"ended move {actor.action}"
                     )
-                self.stats.history[fighter.frame_num] = self.to_sentence(
-                    fighter, other_fighter, f"started move {fighter.action}"
+                history[frame] = self.to_sentence(
+                    actor, opponent, f"started move {actor.action}"
+                )
+            if actor.previous_damage and not actor.damage:
+                history[frame] = (
+                    f"P{actor.fighter_id + 1} {actor.fighter_name} died"
                 )
 
-            if fighter.previous_damage and not fighter.damage:
-                self.stats.history[
-                    fighter.frame_num
-                ] = f"P{fighter.fighter_id + 1} {fighter.fighter_name} died"
+    @staticmethod
+    def _shield_line(actor, opponent):
+        hit, blocked = actor.fighter_name, opponent.fighter_name
+        return (f"{hit} hit {blocked}'s shield with {actor.action}, "
+                f"putting {blocked} into ShieldStun")
+
+    @staticmethod
+    def _punish_line(actor, opponent):
+        return (f"{actor.fighter_name}, who is at {actor.damage:.2f} damage, "
+                f"used {actor.action} to punish {opponent.fighter_name} use "
+                f"of {opponent.previous_action} for "
+                f"{opponent.damage_delta:.2f} damage")
 
     def to_sentence(self, fighter, other_fighter, specific_string):
-        text = f"""
-        P{fighter.fighter_id + 1} {fighter.fighter_name} {specific_string} at position
-        {fighter.pos_x:.2f}x,{fighter.pos_y:.2f}y with {fighter.damage:.2f}% damage.
-        Opponent P{other_fighter.fighter_id + 1} {other_fighter.fighter_name} is at frame
-        {other_fighter.animation_frame_num} of move {other_fighter.action} and is
-        {other_fighter.offset_str(fighter)} from {fighter.fighter_name} with
-        {other_fighter.damage:.2f}% damage.
-        """
-        return " ".join(text.split())
+        """One whitespace-normalized narration sentence (text byte-pinned
+        to the reference's narration contract)."""
+        clauses = (
+            f"P{fighter.fighter_id + 1} {fighter.fighter_name}",
+            specific_string,
+            f"at position {fighter.pos_x:.2f}x,{fighter.pos_y:.2f}y",
+            f"with {fighter.damage:.2f}% damage.",
+            f"Opponent P{other_fighter.fighter_id + 1} {other_fighter.fighter_name}",
+            f"is at frame {other_fighter.animation_frame_num}",
+            f"of move {other_fighter.action}",
+            f"and is {other_fighter.offset_str(fighter)}",
+            f"from {fighter.fighter_name}",
+            f"with {other_fighter.damage:.2f}% damage.",
+        )
+        return " ".join(" ".join(clauses).split())
 
     # ---------------- query API (reference: stats.py:220-308) ----------------
 

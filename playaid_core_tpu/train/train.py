@@ -286,18 +286,34 @@ class Trainer:
                     )
                 yield frames, chars, labels
 
+        # Device-side batch generation (train/device_synth.py): the
+        # dataset's pixels never exist on the host, so the staging
+        # machinery (producer thread + wire format + prefetch) is
+        # bypassed — batches are async device computations chained
+        # straight into the train step.
+        device_gen = getattr(self.train_dataset, "device_batches", None)
+
+        def epoch_batches():
+            if device_gen is not None:
+                for frames, chars, labels in device_gen(cfg.batch_size, steps):
+                    if bsh is not None and self.mesh.devices.size > 1:
+                        frames = jax.device_put(frames, bsh)
+                    yield frames, chars, labels
+                return
+            batches = BackgroundIterator(
+                to_wire(self.train_dataset.batches(cfg.batch_size, steps)),
+                maxsize=4,
+            )
+            yield from device_prefetch(batches, 2, bsh)
+
         for epoch in range(num_epochs):
             epoch_accs, epoch_losses = [], []
             epoch_gnorms, epoch_pnorm = [], None
             n_steps = 0
             t_frames = 1
             start = time.time()
-            batches = BackgroundIterator(
-                to_wire(self.train_dataset.batches(cfg.batch_size, steps)),
-                maxsize=4,
-            )
             with self.mesh:
-                for frames, chars, labels in device_prefetch(batches, 2, bsh):
+                for frames, chars, labels in epoch_batches():
                     rng, step_rng = jax.random.split(rng)
                     self.state, loss, acc, gnorm, pnorm = self.train_step(
                         self.state, frames, labels, step_rng

@@ -65,6 +65,8 @@ def get_library():
         lib.vd_full_height.argtypes = [ctypes.c_void_p]
         lib.vd_lowres.restype = ctypes.c_int
         lib.vd_lowres.argtypes = [ctypes.c_void_p]
+        lib.vd_max_lowres.restype = ctypes.c_int
+        lib.vd_max_lowres.argtypes = [ctypes.c_void_p]
         lib.vd_fast.restype = ctypes.c_int
         lib.vd_fast.argtypes = [ctypes.c_void_p]
         lib.vd_fps.restype = ctypes.c_double
@@ -140,6 +142,12 @@ class NativeVideoDecoder:
     @property
     def lowres(self):
         return self._lib.vd_lowres(self._h)
+
+    @property
+    def max_lowres(self):
+        """The codec's fractional-decode capability (0 = none, e.g. h264;
+        3 = 1/8 decode, e.g. mpeg4) — the clamp auto-lowres respects."""
+        return self._lib.vd_max_lowres(self._h)
 
     @property
     def fast(self):
@@ -228,3 +236,101 @@ class NativeVideoDecoder:
 
     def __exit__(self, *exc):
         self.close()
+
+
+# ---------------------------------------------------------------------------
+# Probe cache + decoder handle pool.
+#
+# Opening an h264 container costs ~45 ms on a 1-core host (avformat stream
+# probing decodes real packets), and the VOD pipeline used to pay it TWICE
+# per analyze() call: once for the auto-lowres/fast probe and once inside
+# the decode worker.  On a host whose decode ceiling is ~2 ms/frame that is
+# ~45 frames of budget per open.  The pool keeps closed-over handles warm,
+# keyed by (path identity, lowres, fast), so a probe's handle is reused as
+# the worker's decoder and repeat analyses of the same VOD (bench runs,
+# re-analysis with a different model/stride, multi-pass tooling) pay zero
+# opens.  decode_crops() seeks on its own, so a pooled handle's stream
+# position never leaks between uses.
+# ---------------------------------------------------------------------------
+
+import threading as _threading
+
+_pool_lock = _threading.Lock()
+_handle_pool: dict = {}   # key -> [NativeVideoDecoder, ...]
+_probe_cache: dict = {}   # file identity -> probe dict
+_POOL_MAX_PER_KEY = 4     # analyze_many can hold a few concurrently
+
+
+def _file_identity(path):
+    st = os.stat(path)
+    return (os.path.realpath(path), st.st_mtime_ns, st.st_size)
+
+
+def _fast_flag(fast):
+    return 2 if fast == "auto" else int(bool(fast))
+
+
+def probe(path, fast="auto"):
+    """Cheap cached stream probe: dims, fps, frame count, the codec's
+    lowres capability and the effective fast mode for ``fast``.
+
+    The probe's open handle is parked in the handle pool (lowres=0), so a
+    following :func:`acquire` for a full-res decode reuses it instead of
+    re-opening the container.
+    """
+    ident = _file_identity(path)
+    key = (ident, _fast_flag(fast))
+    with _pool_lock:
+        info = _probe_cache.get(key)
+    if info is not None:
+        return info
+    dec = acquire(path, lowres=0, fast=fast)
+    info = {
+        "width": dec.width,
+        "height": dec.height,
+        "fps": dec.fps,
+        "num_frames": dec.num_frames,
+        "max_lowres": dec.max_lowres,
+        "fast": dec.fast,
+    }
+    release(dec)
+    with _pool_lock:
+        _probe_cache[key] = info
+    return info
+
+
+def acquire(path, lowres=0, fast=False):
+    """Get a decoder for ``path`` — pooled if one is warm, opened if not."""
+    key = (_file_identity(path), int(lowres), _fast_flag(fast))
+    with _pool_lock:
+        handles = _handle_pool.get(key)
+        if handles:
+            return handles.pop()
+    dec = NativeVideoDecoder(path, lowres=lowres, fast=fast)
+    dec._pool_key = key
+    return dec
+
+
+def release(dec):
+    """Return a decoder obtained from :func:`acquire` to the pool (or
+    close it if the pool for its key is full)."""
+    key = getattr(dec, "_pool_key", None)
+    if key is None or dec._h is None:
+        dec.close()
+        return
+    with _pool_lock:
+        handles = _handle_pool.setdefault(key, [])
+        if len(handles) < _POOL_MAX_PER_KEY:
+            handles.append(dec)
+            return
+    dec.close()
+
+
+def clear_pool():
+    """Close every pooled handle and drop probe caches (tests, teardown)."""
+    with _pool_lock:
+        handles = [d for hs in _handle_pool.values() for d in hs]
+        _handle_pool.clear()
+        _probe_cache.clear()
+    for d in handles:
+        d.close()

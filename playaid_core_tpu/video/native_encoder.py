@@ -114,6 +114,10 @@ class NativeVideoWriter:
 
     def __init__(self, path, fps, size, codec="libx264", preset="veryfast",
                  crf=23, threads=0):
+        # For codecs without a crf option (mpeg4 — the reference's own
+        # output codec), the C layer maps ``crf`` onto a constant
+        # quantizer (1 best .. 31 worst); ``preset=None`` skips the
+        # x264-only preset option.
         self._lib = get_library()
         if self._lib is None:
             raise RuntimeError("native video encoder unavailable")
@@ -122,7 +126,8 @@ class NativeVideoWriter:
             raise ValueError("width/height must be even for yuv420p")
         self._h = self._lib.ve_open(
             str(path).encode(), w, h, float(fps), codec.encode(),
-            preset.encode(), int(crf), int(threads),
+            preset.encode() if preset else b"",
+            int(crf) if crf is not None else -1, int(threads),
         )
         if not self._h:
             raise RuntimeError(f"could not open encoder {codec} for {path}")

@@ -43,18 +43,62 @@ def main(video, log_path, frames, offset, checkpoint, out):
         update_fighters_from_timeline,
     )
 
+    # --- 0) asset validation with actionable messages ---
+    if not os.path.exists(video):
+        raise SystemExit(
+            f"ERROR: video not found: {video}\n"
+            "  Pass the MP4 recorded alongside the ult_logger session "
+            "(reference layout: ult_dataset/ground_truth/<match>/*.mp4)."
+        )
+    if not os.path.exists(log_path):
+        raise SystemExit(
+            f"ERROR: log not found: {log_path}\n"
+            "  Pass the ult_logger output (one JSON record per fighter "
+            "per frame; see README 'Real assets')."
+        )
+    if checkpoint and not os.path.exists(checkpoint):
+        raise SystemExit(
+            f"ERROR: checkpoint not found: {checkpoint}\n"
+            "  Pass an orbax checkpoint directory saved by train/train.py "
+            "or a reference Lightning .ckpt file."
+        )
     os.makedirs(out, exist_ok=True)
     report = {}
 
     # --- 1) ingest + projection ---
-    timeline = load_ground_truth_from_path(log_path, log_offset=offset)
+    try:
+        timeline = load_ground_truth_from_path(log_path, log_offset=offset)
+    except Exception as e:
+        raise SystemExit(
+            f"ERROR: could not parse log {log_path}: {e}\n"
+            "  Expected ult_logger format: one JSON object per line, two "
+            "lines (fighters) per frame, with num_frames_left fields."
+        )
+    if not timeline:
+        raise SystemExit(
+            f"ERROR: log {log_path} parsed to 0 frames — wrong file, or "
+            f"log_offset {offset} consumed the whole log (try --offset 0)."
+        )
     report["log_frames"] = len(timeline)
     precompute_timeline_projection(timeline)
     cap = cv2.VideoCapture(video)
+    if not cap.isOpened():
+        raise SystemExit(
+            f"ERROR: OpenCV cannot open {video} — unsupported container/"
+            "codec? Re-mux with ffmpeg (`ffmpeg -i in -c copy out.mp4`)."
+        )
     vid_frames = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
     w, h = int(cap.get(3)), int(cap.get(4))
     cap.release()
     report["video"] = f"{vid_frames} frames @ {w}x{h}"
+    if vid_frames and abs(vid_frames - len(timeline)) > max(
+        600, 0.5 * len(timeline)
+    ):
+        report["warning"] = (
+            f"video ({vid_frames} frames) and log ({len(timeline)}) lengths "
+            "differ a lot — check the pairing and --offset (the reference "
+            "pairings CSV stores a per-match offset)"
+        )
     n = min(frames, len(timeline))
 
     # --- 2) fighter replay + stats + box sanity ---
