@@ -21,7 +21,12 @@ import os
 
 import numpy as np
 
-PATCH = 32
+# Component patch resolution.  48 (round 5, was 32): the residual
+# foreign-foundry error was Computer Modern Bold's heavy-terminal "3"
+# reading as "8" — at 32px the upper/lower bowl openings collapse to
+# sub-pixel gaps after outline+shadow thickening, and no classifier can
+# recover a feature the resample destroyed.
+PATCH = 48
 
 # Font pools: the conv net trains on the first group and is evaluated on
 # the held-out group (never rendered during training).
@@ -171,12 +176,12 @@ def _make_model():
 
     class DigitNet(nn.Module):
         @nn.compact
-        def __call__(self, x):  # [B, 32, 32, 1]
-            x = nn.relu(nn.Conv(16, (3, 3), strides=2, name="c1")(x))
-            x = nn.relu(nn.Conv(32, (3, 3), strides=2, name="c2")(x))
-            x = nn.relu(nn.Conv(64, (3, 3), strides=2, name="c3")(x))
+        def __call__(self, x):  # [B, PATCH, PATCH, 1]
+            x = nn.relu(nn.Conv(24, (3, 3), strides=2, name="c1")(x))
+            x = nn.relu(nn.Conv(48, (3, 3), strides=2, name="c2")(x))
+            x = nn.relu(nn.Conv(96, (3, 3), strides=2, name="c3")(x))
             x = x.reshape((x.shape[0], -1))
-            x = nn.relu(nn.Dense(64, name="d1")(x))
+            x = nn.relu(nn.Dense(96, name="d1")(x))
             return nn.Dense(10, name="out")(x)
 
     return DigitNet()
@@ -226,13 +231,29 @@ def synth_batch(rng, fonts, batch=128, threshold=128):
             k = np.ones((int(rng.integers(2, 4)),) * 2, np.uint8)
             crop = (_cv2.dilate(crop, k) if rng.random() < 0.5
                     else _cv2.erode(crop, k))
-        if rng.random() < 0.2:
+        if rng.random() < 0.35:
             # morphological close: glyphs with nearly-shut bowls/gaps
             # (heavy Didone digits — a "3" whose terminals almost touch)
             # keep their label, so shape identity can't hinge on a
-            # 1-2 px opening
-            k = np.ones((int(rng.integers(2, 4)),) * 2, np.uint8)
+            # 1-2 px opening.  Kernel up to 5: CM Bold terminals are fat.
+            k = np.ones((int(rng.integers(2, 6)),) * 2, np.uint8)
             crop = _cv2.morphologyEx(crop, _cv2.MORPH_CLOSE, k)
+        if rng.random() < 0.4:
+            # terminal dabs: small bright blobs painted ON existing ink —
+            # Didone/Computer-Modern faces hang ball terminals off stroke
+            # ends (a CM Bold "3"'s left-side balls read as an "8"'s left
+            # strokes to a model trained on flat-terminal families).
+            # Teaching "blobs attached to strokes don't change identity"
+            # is the only way to span that foundry axis with no Didone
+            # face in the training pool.
+            ink_y, ink_x = np.nonzero(crop.max(axis=2) > 128)
+            if len(ink_y):
+                for _ in range(int(rng.integers(1, 4))):
+                    j = int(rng.integers(0, len(ink_y)))
+                    r_ = int(rng.integers(2, max(3, crop.shape[0] // 10)))
+                    _cv2.circle(crop, (int(ink_x[j]), int(ink_y[j])), r_,
+                                tuple(int(v) for v in crop[ink_y[j], ink_x[j]]),
+                                -1)
         if rng.random() < 0.35:
             # elastic warp: low-frequency displacement field — foundries
             # differ in stroke geometry (ball terminals, bowl shapes) in

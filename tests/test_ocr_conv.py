@@ -63,7 +63,11 @@ def _styled_eval_crops(fonts, n_per_digit=6, seed=100):
 
 
 def test_heldout_font_accuracy():
-    """>=95% digit accuracy on fonts the classifier never trained on."""
+    """>=99% digit accuracy on fonts the classifier never trained on
+    (round-5 gate; the committed weights measured 100% over 1075
+    held-out-foundry samples — the terminal-dab augmentation closed the
+    Computer-Modern ball-terminal confusions that capped round 3-4 at
+    ~95-99%)."""
     reader = ocr_conv.ConvDigitOCR()
     crops, labels = _styled_eval_crops(ocr_conv.heldout_fonts())
     hits = 0
@@ -72,7 +76,7 @@ def test_heldout_font_accuracy():
         if ok and raw == str(label):
             hits += 1
     acc = hits / len(labels)
-    assert acc >= 0.95, f"held-out font digit accuracy {acc:.2%}"
+    assert acc >= 0.99, f"held-out font digit accuracy {acc:.2%}"
 
 
 def test_full_damage_reading_heldout():

@@ -581,6 +581,24 @@ def _make_action_dataset(workdir, num_samples, difficulty=1):
 
     clean, stages = phase_assets(workdir)
     fighters = list(sk.FIGHTER_STYLES)
+    # Device-side synth generation (train/device_synth.py): sprite/stage
+    # banks live on the chip and every pixel of batch assembly runs
+    # there — the host's 1 core was capping training at ~2.7 steps/s vs
+    # ~52 steps/s device capability (round-4 telemetry).  SYNTH_DEVICE=0
+    # restores the host (PIL/cv2) generator.
+    if os.environ.get("SYNTH_DEVICE", "1") == "1":
+        from playaid_core_tpu.train.device_synth import DeviceSynthDataset
+
+        return DeviceSynthDataset(
+            anim_subset=ACTIONS, characters=fighters,
+            clean_char_dir=clean, stages_dir=stages,
+            num_samples=num_samples, num_frames_per_sample=7,
+            synth_sprite_fill=(0.70, 0.98), synth_center_jitter=10,
+            synth_frame_degrade=0.5,
+            synth_window=os.environ.get("SYNTH_WINDOW", "middleout"),
+            synth_cycle_repeats=(1, 2), synth_difficulty=difficulty,
+            seed=0,
+        )
     return UltActionRecogDataset(
         split="synth", num_samples=num_samples, img_dimension=128,
         anim_subset=ACTIONS, num_frames_per_sample=7, frame_delta=[3],
