@@ -342,16 +342,28 @@ def main():
     # propagation and temporal-window context legitimately blur the
     # ~segment boundaries.
     label_agreement = None
+    label_agreement_viterbi = None
     if trained is not None:
         margin = 12
         pos = np.arange(num_frames) % SEGMENT_FRAMES
         interior = (pos >= margin) & (pos < SEGMENT_FRAMES - margin)
         agree = (warm["labels"][:num_frames] == gt_ids[:num_frames])
         label_agreement = round(float(agree[interior].mean()), 4)
-        log(f"label agreement vs fixture GT (interior): {label_agreement:.4f}")
-        assert label_agreement >= 0.8, (
-            f"trained-weights label agreement {label_agreement} < 0.8 — "
-            "the headline pipeline is mislabeling its own fixture"
+        # The deployed decode (capstone operating point): Viterbi MAP path
+        # under the switching prior, same embeddings, one extra pass.
+        an_vit = VodAnalyzer(pipe, variables=analyzer.variables, window=384,
+                             padding=30, chunk=chunk, host_resize=True,
+                             lowres=lowres, stride=stride, decode="viterbi",
+                             switch_cost=16.0)
+        vit = an_vit.analyze(headline_path, boxes)
+        agree_v = (vit["labels"][:num_frames] == gt_ids[:num_frames])
+        label_agreement_viterbi = round(float(agree_v[interior].mean()), 4)
+        log(f"label agreement vs fixture GT (interior): raw argmax "
+            f"{label_agreement:.4f}, viterbi {label_agreement_viterbi:.4f}")
+        assert label_agreement_viterbi >= 0.8, (
+            f"trained-weights viterbi label agreement "
+            f"{label_agreement_viterbi} < 0.8 — the headline pipeline is "
+            "mislabeling its own fixture"
         )
 
     # Timed e2e runs INTERLEAVED with decode-only ceiling runs: ambient
@@ -527,6 +539,7 @@ def main():
         # (interior frames; None = no committed weights, random init).
         "weights": "trained" if trained is not None else "random",
         "label_agreement_interior": label_agreement,
+        "label_agreement_viterbi": label_agreement_viterbi,
         "device_only_crops_per_sec": round(device_cps),
         "device_only_fps_2fighters": round(device_cps / 2),
         "decode_backend": "native" if native_decoder.available() else "cv2",

@@ -451,7 +451,8 @@ class VodAnalyzer:
     def __init__(self, pipeline: BatchedActionPipeline | None = None, variables=None,
                  window=384, padding=30, chunk=48, decode_workers=None,
                  host_resize=True, mesh=None, decode_backend="auto", lowres=0,
-                 stride=1, transfer_format="auto", fast_decode="auto"):
+                 stride=1, transfer_format="auto", fast_decode="auto",
+                 decode="argmax", smooth_radius=0, switch_cost=4.0):
         self.pipeline = pipeline or BatchedActionPipeline(family="cnn")
         self.variables = variables
         self.window = window
@@ -506,6 +507,15 @@ class VodAnalyzer:
         # False ships raw windows and resizes on device (multi-core hosts
         # with fast PCIe links).
         self.host_resize = host_resize
+        # Label decoding over the window posteriors: "argmax" (the
+        # reference's per-window semantics, ai_runner.py:466-520) or
+        # "viterbi" (MAP path under a switch_cost-nat Potts prior — the
+        # capstone's deployed operating point); smooth_radius pools
+        # log-posteriors over [i-r, i+r] first.  All run inside the same
+        # classify program (see pipeline._two_fighter_tail).
+        self.label_decode = decode
+        self.smooth_radius = smooth_radius
+        self.switch_cost = switch_cost
 
     def ensure_variables(self, seed=0):
         if self.variables is None:
@@ -855,7 +865,11 @@ class VodAnalyzer:
                 finally:
                     decoder.close()
 
-            labels, conf = self.pipeline.classify_buffer(self.variables, buf, extent)
+            labels, conf = self.pipeline.classify_buffer(
+                self.variables, buf, extent, decode=self.label_decode,
+                smooth_radius=self.smooth_radius,
+                switch_cost=self.switch_cost,
+            )
             labels, conf = jax.device_get((labels, conf))
         if stride > 1:
             # Propagate each sampled frame's label to the frames in between.

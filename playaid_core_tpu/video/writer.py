@@ -86,7 +86,13 @@ class VideoWriter:
         parent = os.path.dirname(os.path.abspath(path))
         os.makedirs(parent, exist_ok=True)
         inner = None
-        prefer = codec or os.environ.get("PLAYAID_ENCODER", "native")
+        # PLAYAID_ENCODER: "cv2" (mp4v — the REFERENCE'S own output codec,
+        # annotator.py:72, and the cheapest per frame on one core: the
+        # charts-on render measured ~17% faster e2e than x264-ultrafast —
+        # the round-5 default), "native" (libx264 ultrafast: ~10x smaller
+        # files in the codec players expect, at ~2 ms/frame more encode
+        # CPU), "mpeg4" (mp4v through the native encoder, qscale mode).
+        prefer = codec or os.environ.get("PLAYAID_ENCODER", "cv2")
         if prefer != "cv2" and width % 2 == 0 and height % 2 == 0:
             try:
                 from playaid_core_tpu.video.native_encoder import (
@@ -94,7 +100,14 @@ class VideoWriter:
                     available,
                 )
 
-                if available():
+                if prefer == "mpeg4" and available("mpeg4"):
+                    inner = NativeVideoWriter(
+                        path, fps, (width, height), codec="mpeg4",
+                        preset=None,
+                        crf=int(os.environ.get("PLAYAID_MPEG4_Q", "8")),
+                        threads=0,
+                    )
+                elif available():
                     inner = NativeVideoWriter(
                         path, fps, (width, height), codec="libx264",
                         preset=os.environ.get("PLAYAID_X264_PRESET", "ultrafast"),
