@@ -187,23 +187,38 @@ class StageBank:
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("out_size",))
-def synth_composite(sprite_bank, stage_bank, rows, flip, sp_oy, sp_ox,
-                    sp_side, stage_idx, st_oy, st_ox, st_side, color_mat,
-                    color_bias, noise_sigma, pix_drop, coarse_rect,
-                    chan_keep, blur_amt, rng_key, out_size: int = 128):
+@partial(jax.jit, static_argnames=("out_size", "t"))
+def synth_composite(sprite_bank, stage_bank, ints, floats, rng_key,
+                    out_size: int = 128, t: int = 7):
     """One training batch of composited clips, entirely on device.
 
-    rows [B, T] int32 bank rows; flip [B] bool; sp_oy/ox/side [B, T]
-    float sprite-resample windows (output-pixel -> bank-canvas mapping);
-    stage_idx [B] int32 + st_oy/ox/side [B] stage-patch windows;
-    color_mat [B, 3, 3] + color_bias [B, 3] photometric transform;
-    noise_sigma [B]; pix_drop [B] dropout probability (0 = off);
-    coarse_rect [B, 4] (y, x, h, w; h == 0 = off); chan_keep [B, 3]
-    per-channel multipliers; blur_amt [B] in [0, 1] box-blur mix.
-    Returns frames [B, T, S, S, 3] uint8.
+    The per-batch parameters arrive PACKED into two arrays — ``ints``
+    [B, T+2] (bank rows [T], stage_idx, flip) and ``floats`` [B, 3T+25]
+    (sprite-resample windows, stage window, color matrix+bias, noise/
+    dropout/blur knobs) — because each jit argument is its own
+    host->device upload, and through a high-latency tunnel 17 small
+    uploads per step serialize into hundreds of ms while 2 cost one
+    round trip.  See ``DeviceSynthDataset._sample_batch_params`` for the
+    layout.  Returns frames [B, T, S, S, 3] uint8.
     """
-    b, t = rows.shape
+    rows = ints[:, :t]
+    stage_idx = ints[:, t]
+    flip = ints[:, t + 1].astype(bool)
+    o = 0
+    sp_oy, o = floats[:, o : o + t], o + t
+    sp_ox, o = floats[:, o : o + t], o + t
+    sp_side, o = floats[:, o : o + t], o + t
+    st_oy, st_ox, st_side = floats[:, o], floats[:, o + 1], floats[:, o + 2]
+    o += 3
+    color_mat, o = floats[:, o : o + 9].reshape(-1, 3, 3), o + 9
+    color_bias, o = floats[:, o : o + 3], o + 3
+    noise_sigma, pix_drop, blur_amt = (floats[:, o], floats[:, o + 1],
+                                       floats[:, o + 2])
+    o += 3
+    coarse_rect, o = floats[:, o : o + 4], o + 4
+    chan_keep = floats[:, o : o + 3]
+
+    b = rows.shape[0]
     s = out_size
     spr = jnp.take(sprite_bank, rows.reshape(-1), axis=0)  # [B*T, S, S, 4]
     spr = spr.astype(jnp.float32)
@@ -520,19 +535,20 @@ class DeviceSynthDataset:
                 blur_amt, np.where(deg, rng.uniform(0.3, 0.9, b), 0.0)
             )
 
-        return dict(
-            rows=rows, labels=labels, chars=chars,
-            flip=flip, sp_oy=sp_oy.astype(np.float32),
-            sp_ox=sp_ox.astype(np.float32), sp_side=side.astype(np.float32),
-            stage_idx=stage_idx, st_oy=st_oy.astype(np.float32),
-            st_ox=st_ox.astype(np.float32), st_side=st_side.astype(np.float32),
-            color_mat=color_mat, color_bias=bias.astype(np.float32),
-            noise_sigma=noise_sigma.astype(np.float32),
-            pix_drop=pix_drop.astype(np.float32),
-            coarse_rect=coarse.astype(np.float32),
-            chan_keep=chan_keep.astype(np.float32),
-            blur_amt=blur_amt.astype(np.float32),
-        )
+        # Pack into the two-array wire layout synth_composite unpacks
+        # (each jit arg is its own upload; see the kernel docstring).
+        ints = np.concatenate(
+            [rows, stage_idx[:, None], flip.astype(np.int32)[:, None]],
+            axis=1,
+        ).astype(np.int32)
+        floats = np.concatenate([
+            sp_oy, sp_ox, side,
+            np.stack([st_oy, st_ox, st_side], axis=1),
+            color_mat.reshape(b, 9), bias,
+            np.stack([noise_sigma, pix_drop, blur_amt], axis=1),
+            coarse, chan_keep,
+        ], axis=1).astype(np.float32)
+        return dict(ints=ints, floats=floats, labels=labels, chars=chars)
 
     # ---- batch iterators ----
 
@@ -545,12 +561,9 @@ class DeviceSynthDataset:
             p = self._sample_batch_params(batch_size)
             self._key, sub = jax.random.split(self._key)
             frames = synth_composite(
-                self.sprites.bank, self.stages.bank, p["rows"], p["flip"],
-                p["sp_oy"], p["sp_ox"], p["sp_side"], p["stage_idx"],
-                p["st_oy"], p["st_ox"], p["st_side"], p["color_mat"],
-                p["color_bias"], p["noise_sigma"], p["pix_drop"],
-                p["coarse_rect"], p["chan_keep"], p["blur_amt"], sub,
-                out_size=self.crop_size,
+                self.sprites.bank, self.stages.bank, p["ints"], p["floats"],
+                sub, out_size=self.crop_size,
+                t=self.num_frames_per_sample,
             )
             yield frames, p["chars"], p["labels"]
 
